@@ -1,0 +1,261 @@
+"""Element assembly: vmapped kernels + segment-sum scatter into block-CSR.
+
+TPU-native replacement for DOLFINx/FFCx assembly (SURVEY.md 2.2): the
+reference JIT-compiles C element kernels per form and scatters through the
+dofmap inside ``assemble_matrix`` / ``assemble_vector`` (reference
+NavierStokes/NavierStokesChannelFlow.py:64-75).  Here every form is a single
+*element residual kernel* — a pure JAX function
+
+    kernel(coords_e (nv, gdim), w_e (ndl,)) -> r_e (ndl,)
+
+and everything else is derived:
+
+* global residual  = segment_sum over vmapped kernels (duplicate-dof
+  reduction — the ghost ADD/REVERSE update collapses to one segment_sum),
+* global Jacobian  = vmapped ``jax.jacfwd`` of the kernel, scattered into a
+  node-block CSR matrix (replaces UFL ``derivative`` + FFCx, reference
+  NavierStokesChannelFlow.py:253-254),
+* linear forms     = the affine case: A = J(0), b = -r(0).
+
+The block-CSR layout keys everything to *node blocks* (bs = dim+1 for the
+equal-order P1-P1 mixed space), so SpMV is a gather + batched (bs, bs)
+matmuls + segment_sum — all ops XLA fuses well on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.bc import DirichletBC, bc_mask, bc_vector
+from ..fem.space import MixedVelocityPressureSpace, FunctionSpace
+from ..utils.linalg import det_small, inv_small
+
+
+def affine_geometry(coords: jnp.ndarray, dim: int):
+    """Jacobian data for an affine simplex.
+
+    coords: (nv, gdim) vertex coordinates (first dim+1 rows are vertices).
+    Returns (J (dim, dim), invJ (dim, dim), absdetJ scalar) with
+    J[i, k] = d x_i / d xi_k and invJ[k, i] = d xi_k / d x_i.
+    """
+    E = coords[1 : dim + 1, :] - coords[0:1, :]   # rows = edge vectors
+    J = E.T
+    detJ = det_small(J)
+    invJ = inv_small(J)
+    return J, invJ, jnp.abs(detJ)
+
+
+def cell_diameter(coords: jnp.ndarray) -> jnp.ndarray:
+    """UFL CellDiameter: max vertex-vertex distance (longest edge)."""
+    d = coords[:, None, :] - coords[None, :, :]
+    return jnp.sqrt(jnp.max(jnp.sum(d * d, axis=-1)))
+
+
+# ----------------------------------------------------------------------------
+# Block-CSR pattern
+# ----------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class BlockPattern:
+    """CSR over node blocks, plus the element->nnz scatter map."""
+
+    n_rows: int                 # number of block rows
+    bs: int                     # block size
+    indptr: np.ndarray          # (n_rows+1,)
+    indices: np.ndarray         # (nnzb,) block column ids
+    row_ids: np.ndarray         # (nnzb,) block row id of each stored block
+    ell_pos: np.ndarray         # (n_cells, nbl, nbl) -> nnz position
+    diag_pos: np.ndarray        # (n_rows,) position of diagonal block
+
+    @property
+    def nnzb(self) -> int:
+        return self.indices.shape[0]
+
+    def to_scipy(self, values: np.ndarray):
+        """Dense-block CSR -> scipy.sparse for host-side checks."""
+        from scipy.sparse import bsr_matrix
+
+        return bsr_matrix(
+            (np.asarray(values), self.indices, self.indptr),
+            shape=(self.n_rows * self.bs, self.n_rows * self.bs),
+        )
+
+
+def build_pattern(cell_blocks: np.ndarray, n_blocks: int, bs: int) -> BlockPattern:
+    """Sparsity from element block connectivity.
+
+    cell_blocks: (n_cells, nbl) block ids touched by each cell (e.g. the
+    scalar-node connectivity for an equal-order mixed space).
+    """
+    nc, nbl = cell_blocks.shape
+    rows = np.repeat(cell_blocks, nbl, axis=1).ravel()
+    cols = np.tile(cell_blocks, (1, nbl)).ravel()
+    # unique (row, col) sorted by row then col -> CSR
+    keys = rows.astype(np.int64) * n_blocks + cols.astype(np.int64)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    u_rows = (uniq // n_blocks).astype(np.int32)
+    u_cols = (uniq % n_blocks).astype(np.int32)
+    indptr = np.zeros(n_blocks + 1, dtype=np.int32)
+    np.add.at(indptr, u_rows + 1, 1)
+    indptr = np.cumsum(indptr).astype(np.int32)
+    ell_pos = inv.reshape(nc, nbl, nbl).astype(np.int32)
+    diag_keys = np.arange(n_blocks, dtype=np.int64) * (n_blocks + 1)
+    diag_pos = np.searchsorted(uniq, diag_keys).astype(np.int32)
+    return BlockPattern(
+        n_rows=n_blocks,
+        bs=bs,
+        indptr=indptr,
+        indices=u_cols,
+        row_ids=u_rows,
+        ell_pos=ell_pos,
+        diag_pos=diag_pos,
+    )
+
+
+# ----------------------------------------------------------------------------
+# Assembler
+# ----------------------------------------------------------------------------
+
+
+class Assembler:
+    """Binds a mesh/space pair to jnp arrays and drives kernel assembly.
+
+    Construct once per (mesh, space); pass kernels per form.  All returned
+    closures are jit-safe (shapes static, data closed over as jnp arrays).
+    """
+
+    def __init__(
+        self,
+        cell_dofs: np.ndarray,          # (nc, ndl) global dof ids
+        cell_coords: np.ndarray,        # (nc, nv, gdim)
+        ndofs: int,
+        pattern: Optional[BlockPattern] = None,
+        dtype=jnp.float64,
+    ):
+        self.ndofs = int(ndofs)
+        self.dtype = dtype
+        self.cell_dofs = jnp.asarray(cell_dofs, jnp.int32)
+        self.cell_coords = jnp.asarray(cell_coords, dtype)
+        self.pattern = pattern
+        if pattern is not None:
+            self.indices = jnp.asarray(pattern.indices, jnp.int32)
+            self.row_ids = jnp.asarray(pattern.row_ids, jnp.int32)
+            self.ell_pos = jnp.asarray(pattern.ell_pos, jnp.int32)
+            self.diag_pos = jnp.asarray(pattern.diag_pos, jnp.int32)
+
+    # -- residual ----------------------------------------------------------
+    def residual(self, kernel: Callable, w: jnp.ndarray) -> jnp.ndarray:
+        """r = sum_e scatter(kernel_e). kernel(coords, w_e) -> (ndl,)."""
+        w_e = w[self.cell_dofs]                                   # (nc, ndl)
+        r_e = jax.vmap(kernel)(self.cell_coords, w_e)             # (nc, ndl)
+        return jax.ops.segment_sum(
+            r_e.reshape(-1), self.cell_dofs.reshape(-1),
+            num_segments=self.ndofs)
+
+    # -- matrix --------------------------------------------------------------
+    def matrix_values(self, kernel: Callable, w: jnp.ndarray) -> jnp.ndarray:
+        """Block-CSR values of dr/dw at w: (nnzb, bs, bs)."""
+        assert self.pattern is not None
+        bs = self.pattern.bs
+        nbl = self.ell_pos.shape[1]
+
+        def cell_jac(coords, w_e):
+            return jax.jacfwd(lambda ww: kernel(coords, ww))(w_e)  # (ndl, ndl)
+
+        J_e = jax.vmap(cell_jac)(self.cell_coords, w[self.cell_dofs])
+        nc = J_e.shape[0]
+        # (ndl, ndl) = (nbl*bs, nbl*bs) -> (nbl, nbl, bs, bs)
+        Jb = J_e.reshape(nc, nbl, bs, nbl, bs).transpose(0, 1, 3, 2, 4)
+        return jax.ops.segment_sum(
+            Jb.reshape(-1, bs, bs), self.ell_pos.reshape(-1),
+            num_segments=self.pattern.nnzb)
+
+    # -- SpMV ----------------------------------------------------------------
+    def matvec(self, values: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """y = A x with A in block-CSR (values from matrix_values)."""
+        bs = self.pattern.bs
+        xb = x.reshape(-1, bs)
+        contrib = jnp.einsum(
+            "nij,nj->ni", values, xb[self.indices],
+            preferred_element_type=values.dtype)
+        yb = jax.ops.segment_sum(
+            contrib, self.row_ids, num_segments=self.pattern.n_rows)
+        return yb.reshape(-1)
+
+    def diag_blocks(self, values: jnp.ndarray) -> jnp.ndarray:
+        """(n_rows, bs, bs) diagonal blocks."""
+        return values[self.diag_pos]
+
+    # -- BC-aware wrappers -----------------------------------------------------
+    def bc_operator(self, values: jnp.ndarray, mask: jnp.ndarray) -> Callable:
+        """Return A_bc(x) = P A P x + (I - P) x (rows+cols projected)."""
+
+        def op(x):
+            return mask * self.matvec(values, mask * x) + (1.0 - mask) * x
+
+        return op
+
+    def bc_residual(
+        self, kernel: Callable, w: jnp.ndarray,
+        mask: jnp.ndarray, g: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Residual with Dirichlet rows replaced by (w - g)."""
+        r = self.residual(kernel, w)
+        return mask * r + (1.0 - mask) * (w - g)
+
+    def linear_system(
+        self, kernel: Callable, bc: DirichletBC,
+    ) -> Tuple[jnp.ndarray, Callable, jnp.ndarray, jnp.ndarray]:
+        """For affine kernels: (values, A_bc, b_bc, mask).
+
+        Solves of A_bc x = b_bc satisfy the BC exactly and the weak form on
+        free dofs (same solution as dolfinx LinearProblem with lifting,
+        reference NavierStokesChannelFlow.py:197-218).
+        """
+        zero = jnp.zeros(self.ndofs, self.dtype)
+        values = self.matrix_values(kernel, zero)
+        b = -self.residual(kernel, zero)
+        mask = jnp.asarray(bc_mask(self.ndofs, bc), self.dtype)
+        g = jnp.asarray(bc_vector(self.ndofs, bc), self.dtype)
+        b_bc = mask * (b - self.matvec(values, g)) + g
+        return values, self.bc_operator(values, mask), b_bc, mask
+
+
+def assembler_for_mixed(
+    space: MixedVelocityPressureSpace, dtype=None
+) -> Assembler:
+    """Assembler over the mixed space with node-block pattern (equal order)."""
+    import jax.numpy as jnp  # local to pick up x64 state at call time
+
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    mesh = space.mesh
+    coords = mesh.points[mesh.cells]
+    if space.equal_order:
+        pattern = build_pattern(
+            space.V.cell_dofs_scalar, space.V.n_scalar_dofs, space.block_size)
+    else:
+        pattern = build_pattern(space.cell_dofs_w, space.ndofs, 1)
+    return Assembler(space.cell_dofs_w, coords, space.ndofs, pattern, dtype)
+
+
+def assembler_for_space(fs: FunctionSpace, dtype=None) -> Assembler:
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    mesh = fs.mesh
+    coords = mesh.points[mesh.cells]
+    cd = fs.cell_dofs()
+    if fs.vs == 1:
+        pattern = build_pattern(fs.cell_dofs_scalar, fs.n_scalar_dofs, 1)
+    else:
+        pattern = build_pattern(fs.cell_dofs_scalar, fs.n_scalar_dofs, fs.vs)
+    return Assembler(cd, coords, fs.ndofs, pattern, dtype)

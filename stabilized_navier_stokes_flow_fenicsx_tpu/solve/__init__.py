@@ -1,0 +1,3 @@
+from .krylov import cg, bicgstab, fgmres, KrylovResult
+from .precond import block_jacobi, identity_pc
+from .newton import newton_solve, NewtonResult

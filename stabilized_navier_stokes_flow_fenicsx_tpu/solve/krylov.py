@@ -1,0 +1,219 @@
+"""Device-resident Krylov solvers.
+
+TPU-native replacement for PETSc KSP (SURVEY.md 2.2): the reference solves
+with tfqmr+ASM (NavierStokes/NavierStokesChannelFlow.py:198-202), bcgs
+(StokesFlow/StokesChannelFlow.py:166), fgmres+asm
+(Validation_Flow/DFG_3D_Validation.py:167-172) and preonly+LU
+(image2inlet.py:272).  The discrete solution of a converged Krylov solve is
+solver-independent, so parity needs matching *tolerances*, not matching
+algorithms; we keep FGMRES (robust for the stabilized saddle-point system),
+BiCGStab (cheap), and CG (SPD inlet Poisson).
+
+All loops are ``lax.while_loop``s — one XLA program per solve, zero host
+round-trips.  Operators are closures x -> A x (matrix-free or block-CSR).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class KrylovResult(NamedTuple):
+    x: jnp.ndarray
+    iters: jnp.ndarray          # iterations performed
+    resnorm: jnp.ndarray        # final (preconditioned for fgmres) residual norm
+    converged: jnp.ndarray      # bool
+
+
+def _ident(x):
+    return x
+
+
+def cg(A, b, x0=None, M=None, rtol=1e-10, atol=0.0, max_it=10000) -> KrylovResult:
+    """Preconditioned conjugate gradients (SPD systems)."""
+    M = M or _ident
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - A(x0)
+    z0 = M(r0)
+    bnorm = jnp.linalg.norm(b)
+    tol = jnp.maximum(rtol * bnorm, atol)
+
+    def cond(s):
+        x, r, z, p, rz, it = s
+        return (jnp.linalg.norm(r) > tol) & (it < max_it)
+
+    def body(s):
+        x, r, z, p, rz, it = s
+        Ap = A(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        return (x, r, z, p, rz_new, it + 1)
+
+    state = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.array(0, jnp.int32))
+    x, r, *_, it = jax.lax.while_loop(cond, body, state)
+    rn = jnp.linalg.norm(r)
+    return KrylovResult(x, it, rn, rn <= tol)
+
+
+def bicgstab(A, b, x0=None, M=None, rtol=1e-10, atol=0.0, max_it=10000
+             ) -> KrylovResult:
+    """Right-preconditioned BiCGStab."""
+    M = M or _ident
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - A(x0)
+    bnorm = jnp.linalg.norm(b)
+    tol = jnp.maximum(rtol * bnorm, atol)
+    rhat = r0
+
+    def cond(s):
+        x, r, p, v, rho, alpha, omega, it, brk = s
+        return (jnp.linalg.norm(r) > tol) & (it < max_it) & (~brk)
+
+    def body(s):
+        x, r, p, v, rho, alpha, omega, it, brk = s
+        rho_new = jnp.vdot(rhat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        phat = M(p)
+        v = A(phat)
+        denom = jnp.vdot(rhat, v)
+        alpha = rho_new / denom
+        s_vec = r - alpha * v
+        shat = M(s_vec)
+        t = A(shat)
+        tt = jnp.vdot(t, t)
+        omega = jnp.where(tt > 0, jnp.vdot(t, s_vec) / tt, 0.0)
+        x = x + alpha * phat + omega * shat
+        r = s_vec - omega * t
+        brk = (jnp.abs(rho_new) < 1e-300) | (jnp.abs(omega) < 1e-300)
+        return (x, r, p, v, rho_new, alpha, omega, it + 1, brk)
+
+    one = jnp.ones((), b.dtype)
+    state = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b),
+             one, one, one, jnp.array(0, jnp.int32), jnp.array(False))
+    x, r, *_, it, _brk = jax.lax.while_loop(cond, body, state)
+    rn = jnp.linalg.norm(r)
+    return KrylovResult(x, it, rn, rn <= tol)
+
+
+def fgmres(
+    A: Callable,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    M: Optional[Callable] = None,
+    rtol: float = 1e-8,
+    atol: float = 0.0,
+    restart: int = 50,
+    max_restarts: int = 40,
+) -> KrylovResult:
+    """Flexible GMRES(m) with right preconditioning.
+
+    Arnoldi with modified Gram-Schmidt; the Z basis stores preconditioned
+    vectors (flexible), so M may itself be an inner iteration.
+    """
+    M = M or _ident
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    n = b.shape[0]
+    m = restart
+    dtype = b.dtype
+    bnorm = jnp.linalg.norm(b)
+    tol = jnp.maximum(rtol * bnorm, atol)
+
+    def arnoldi_cycle(x):
+        r = b - A(x)
+        beta = jnp.linalg.norm(r)
+
+        V = jnp.zeros((m + 1, n), dtype)
+        Z = jnp.zeros((m, n), dtype)
+        H = jnp.zeros((m + 1, m), dtype)
+        # Givens rotation accumulators
+        cs = jnp.zeros(m, dtype)
+        sn = jnp.zeros(m, dtype)
+        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+        V = V.at[0].set(jnp.where(beta > 0, r / beta, r))
+
+        def body(j, carry):
+            V, Z, H, cs, sn, g, done = carry
+            z = M(V[j])
+            w = A(z)
+
+            # modified Gram-Schmidt against all m+1 basis vectors, masked
+            def mgs(i, carry2):
+                w, H = carry2
+                keep = i <= j
+                hij = jnp.where(keep, jnp.vdot(V[i], w), 0.0)
+                w = w - hij * V[i]
+                H = H.at[i, j].set(hij)
+                return (w, H)
+
+            w, H = jax.lax.fori_loop(0, m + 1, mgs, (w, H))
+            hj1 = jnp.linalg.norm(w)
+            H = H.at[j + 1, j].set(hj1)
+            V = V.at[j + 1].set(jnp.where(hj1 > 0, w / hj1, w))
+            Z = Z.at[j].set(z)
+
+            # apply previous Givens rotations to column j
+            def rot(i, Hcol):
+                keep = i < j
+                h_i = jnp.where(keep, cs[i] * Hcol[i] + sn[i] * Hcol[i + 1], Hcol[i])
+                h_i1 = jnp.where(keep, -sn[i] * Hcol[i] + cs[i] * Hcol[i + 1], Hcol[i + 1])
+                return Hcol.at[i].set(h_i).at[i + 1].set(h_i1)
+
+            Hcol = jax.lax.fori_loop(0, m, rot, H[:, j])
+            denom = jnp.sqrt(Hcol[j] ** 2 + Hcol[j + 1] ** 2)
+            c = jnp.where(denom > 0, Hcol[j] / denom, 1.0)
+            s = jnp.where(denom > 0, Hcol[j + 1] / denom, 0.0)
+            Hcol = Hcol.at[j].set(c * Hcol[j] + s * Hcol[j + 1]).at[j + 1].set(0.0)
+            H = H.at[:, j].set(Hcol)
+            cs = cs.at[j].set(c)
+            sn = sn.at[j].set(s)
+            g = g.at[j + 1].set(-s * g[j]).at[j].set(c * g[j])
+            done = jnp.abs(g[j + 1]) <= tol
+            return (V, Z, H, cs, sn, g, done)
+
+        # run all m steps (static); masking keeps the math exact and XLA
+        # fuses it into one compiled loop.  Early-exit handled by `done`
+        # only to pick the solution size.
+        def body_wrap(j, carry):
+            return jax.lax.cond(
+                carry[6], lambda c: c, lambda c: body(j, c), carry)
+
+        carry = (V, Z, H, cs, sn, g, jnp.array(False))
+        V, Z, H, cs, sn, g, done = jax.lax.fori_loop(0, m, body_wrap, carry)
+
+        # back-substitution on the triangularized H (masked for early exit:
+        # columns never formed have H[j,j]=0 -> treat y_j = 0)
+        def back(i, y):
+            j = m - 1 - i
+            hj = H[j, j]
+            num = g[j] - jnp.dot(H[j, j + 1 :], y[j + 1 :])
+            yj = jnp.where(jnp.abs(hj) > 0, num / hj, 0.0)
+            return y.at[j].set(yj)
+
+        y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, dtype))
+        x_new = x + Z.T @ y
+        rnorm = jnp.abs(g[m])  # estimate; exact recompute below
+        return x_new, rnorm
+
+    def cond(s):
+        x, it, rn = s
+        return (rn > tol) & (it < max_restarts)
+
+    def body(s):
+        x, it, rn = s
+        x, _ = arnoldi_cycle(x)
+        rn = jnp.linalg.norm(b - A(x))
+        return (x, it + 1, rn)
+
+    rn0 = jnp.linalg.norm(b - A(x0))
+    x, its, rn = jax.lax.while_loop(cond, body, (x0, jnp.array(0, jnp.int32), rn0))
+    return KrylovResult(x, its * m, rn, rn <= tol)

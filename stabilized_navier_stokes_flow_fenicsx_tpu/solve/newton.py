@@ -1,0 +1,96 @@
+"""Newton driver — the SNES equivalent.
+
+TPU-native replacement for PETSc SNES (SURVEY.md 2.2): the reference sets
+rtol=atol=1e-8, max_it=30 with a tfqmr inner KSP (reference
+NavierStokes/NavierStokesChannelFlow.py:268-312).  Here the whole Newton
+iteration, including re-assembly of the Jacobian block-CSR values and the
+inner FGMRES solve, is one jitted ``lax.while_loop`` — the TPU runs the
+entire nonlinear solve without talking to the host.
+
+A backtracking line search on ||F|| stands in for SNES's default 'bt'
+line search (damping is what lets Re 40-70 converge from the Stokes guess).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .krylov import fgmres
+from .precond import block_jacobi
+
+
+class NewtonResult(NamedTuple):
+    x: jnp.ndarray
+    iters: jnp.ndarray
+    resnorm: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def newton_solve(
+    residual: Callable,            # x -> F(x)  (BC rows already substituted)
+    jac_values: Callable,          # x -> block-CSR values of dF/dx
+    make_operator: Callable,       # (values) -> (A(x) closure)
+    make_pc: Callable,             # (values) -> (M(x) closure)
+    x0: jnp.ndarray,
+    rtol: float = 1e-8,
+    atol: float = 1e-8,
+    max_it: int = 30,
+    ksp_rtol: float = 1e-8,
+    ksp_restart: int = 50,
+    ksp_max_restarts: int = 40,
+    max_backtracks: int = 8,
+    monitor: bool = False,
+) -> NewtonResult:
+    """Damped Newton with FGMRES inner solves, fully jit-compatible."""
+
+    f0 = residual(x0)
+    n0 = jnp.linalg.norm(f0)
+    tol = jnp.maximum(rtol * n0, atol)
+
+    def cond(s):
+        x, fnorm, it, stalled = s
+        return (fnorm > tol) & (it < max_it) & (~stalled)
+
+    def body(s):
+        x, fnorm, it, _ = s
+        F = residual(x)
+        vals = jac_values(x)
+        A = make_operator(vals)
+        M = make_pc(vals)
+        sol = fgmres(A, -F, M=M, rtol=ksp_rtol,
+                     restart=ksp_restart, max_restarts=ksp_max_restarts)
+        dx = sol.x
+
+        # backtracking line search on ||F||
+        def ls_body(k, carry):
+            lam, best_norm, accepted = carry
+            trial = jnp.linalg.norm(residual(x + lam * dx))
+            good = trial < (1.0 - 1e-4 * lam) * fnorm
+            take = good & (~accepted)
+            best_norm = jnp.where(take, trial, best_norm)
+            lam_out = jnp.where(accepted | take, lam, lam * 0.5)
+            return (lam_out, best_norm, accepted | take)
+
+        lam0 = jnp.ones((), x.dtype)
+        lam, new_norm, accepted = jax.lax.fori_loop(
+            0, max_backtracks, ls_body, (lam0, fnorm, jnp.array(False)))
+        # if nothing helped, take the full step anyway (SNES would diverge;
+        # we flag the stall instead)
+        lam = jnp.where(accepted, lam, 1.0)
+        x_new = x + lam * dx
+        new_norm = jnp.where(accepted, new_norm,
+                             jnp.linalg.norm(residual(x_new)))
+        stalled = (~accepted) & (new_norm >= fnorm)
+        if monitor:
+            jax.debug.print(
+                "newton it={it} |F|={fn:.6e} lambda={lam:.3f} ksp_iters={ki}",
+                it=it, fn=new_norm, lam=lam, ki=sol.iters)
+        return (x_new, new_norm, it + 1, stalled)
+
+    state = (x0, n0, jnp.array(0, jnp.int32), jnp.array(False))
+    x, fnorm, it, _ = jax.lax.while_loop(cond, body, state)
+    return NewtonResult(x, it, fnorm, fnorm <= tol)
