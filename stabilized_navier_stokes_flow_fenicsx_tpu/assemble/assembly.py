@@ -20,13 +20,18 @@ and everything else is derived:
 The block-CSR layout keys everything to *node blocks* (bs = dim+1 for the
 equal-order P1-P1 mixed space), so SpMV is a gather + batched (bs, bs)
 matmuls + segment_sum — all ops XLA fuses well on TPU.
+
+IMPORTANT (compile time): mesh arrays are threaded through jit as
+*arguments* (the ``AsmArrays`` pytree), never as closure constants —
+XLA constant-folds closure constants, which at 10^6 cells means minutes of
+compile time spent "precomputing" geometry into the executable.
 """
 
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,8 +62,19 @@ def cell_diameter(coords: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.max(jnp.sum(d * d, axis=-1)))
 
 
+class AsmArrays(NamedTuple):
+    """Mesh/dofmap data threaded through jit as arguments (a pytree)."""
+
+    cell_dofs: jnp.ndarray      # (nc, ndl) int32
+    cell_coords: jnp.ndarray    # (nc, nv, gdim)
+    indices: jnp.ndarray        # (nnzb,) block column ids
+    row_ids: jnp.ndarray        # (nnzb,) block row ids
+    ell_pos: jnp.ndarray        # (nc, nbl, nbl) int32
+    diag_pos: jnp.ndarray       # (n_rows,) int32
+
+
 # ----------------------------------------------------------------------------
-# Block-CSR pattern
+# Block-CSR pattern (host-side, numpy)
 # ----------------------------------------------------------------------------
 
 
@@ -79,7 +95,7 @@ class BlockPattern:
         return self.indices.shape[0]
 
     def to_scipy(self, values: np.ndarray):
-        """Dense-block CSR -> scipy.sparse for host-side checks."""
+        """Block CSR -> scipy.sparse for host-side checks."""
         from scipy.sparse import bsr_matrix
 
         return bsr_matrix(
@@ -97,7 +113,6 @@ def build_pattern(cell_blocks: np.ndarray, n_blocks: int, bs: int) -> BlockPatte
     nc, nbl = cell_blocks.shape
     rows = np.repeat(cell_blocks, nbl, axis=1).ravel()
     cols = np.tile(cell_blocks, (1, nbl)).ravel()
-    # unique (row, col) sorted by row then col -> CSR
     keys = rows.astype(np.int64) * n_blocks + cols.astype(np.int64)
     uniq, inv = np.unique(keys, return_inverse=True)
     u_rows = (uniq // n_blocks).astype(np.int32)
@@ -109,103 +124,104 @@ def build_pattern(cell_blocks: np.ndarray, n_blocks: int, bs: int) -> BlockPatte
     diag_keys = np.arange(n_blocks, dtype=np.int64) * (n_blocks + 1)
     diag_pos = np.searchsorted(uniq, diag_keys).astype(np.int32)
     return BlockPattern(
-        n_rows=n_blocks,
-        bs=bs,
-        indptr=indptr,
-        indices=u_cols,
-        row_ids=u_rows,
-        ell_pos=ell_pos,
-        diag_pos=diag_pos,
-    )
+        n_rows=n_blocks, bs=bs, indptr=indptr, indices=u_cols,
+        row_ids=u_rows, ell_pos=ell_pos, diag_pos=diag_pos)
 
 
 # ----------------------------------------------------------------------------
-# Assembler
+# Functional assembly (jit-friendly: data in, data out)
+# ----------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def residual_of(kernel: Callable, ndofs: int, arrays: AsmArrays,
+                w: jnp.ndarray) -> jnp.ndarray:
+    """Global residual r(w) = scatter(sum_e kernel_e)."""
+    w_e = w[arrays.cell_dofs]
+    r_e = jax.vmap(kernel)(arrays.cell_coords, w_e)
+    return jax.ops.segment_sum(
+        r_e.reshape(-1), arrays.cell_dofs.reshape(-1), num_segments=ndofs)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def matrix_values_of(kernel: Callable, nnzb: int, bs: int,
+                     arrays: AsmArrays, w: jnp.ndarray) -> jnp.ndarray:
+    """Block-CSR values of dr/dw at w: (nnzb, bs, bs)."""
+    nbl = arrays.ell_pos.shape[1]
+
+    def cell_jac(coords, w_e):
+        return jax.jacfwd(lambda ww: kernel(coords, ww))(w_e)
+
+    J_e = jax.vmap(cell_jac)(arrays.cell_coords, w[arrays.cell_dofs])
+    nc = J_e.shape[0]
+    Jb = J_e.reshape(nc, nbl, bs, nbl, bs).transpose(0, 1, 3, 2, 4)
+    return jax.ops.segment_sum(
+        Jb.reshape(-1, bs, bs), arrays.ell_pos.reshape(-1), num_segments=nnzb)
+
+
+def bcsr_matvec(arrays: AsmArrays, n_rows: int, values: jnp.ndarray,
+                x: jnp.ndarray) -> jnp.ndarray:
+    """y = A x with A in block-CSR. Safe to call inside jit."""
+    bs = values.shape[-1]
+    xb = x.reshape(-1, bs)
+    contrib = jnp.einsum("nij,nj->ni", values, xb[arrays.indices],
+                         preferred_element_type=values.dtype)
+    yb = jax.ops.segment_sum(contrib, arrays.row_ids, num_segments=n_rows)
+    return yb.reshape(-1)
+
+
+# ----------------------------------------------------------------------------
+# Assembler — binds a space to its pattern/arrays, offers convenience API
 # ----------------------------------------------------------------------------
 
 
 class Assembler:
-    """Binds a mesh/space pair to jnp arrays and drives kernel assembly.
-
-    Construct once per (mesh, space); pass kernels per form.  All returned
-    closures are jit-safe (shapes static, data closed over as jnp arrays).
-    """
-
     def __init__(
         self,
-        cell_dofs: np.ndarray,          # (nc, ndl) global dof ids
-        cell_coords: np.ndarray,        # (nc, nv, gdim)
+        cell_dofs: np.ndarray,
+        cell_coords: np.ndarray,
         ndofs: int,
-        pattern: Optional[BlockPattern] = None,
-        dtype=jnp.float64,
+        pattern: BlockPattern,
+        dtype=None,
     ):
+        if dtype is None:
+            dtype = jnp.zeros(0).dtype
         self.ndofs = int(ndofs)
         self.dtype = dtype
-        self.cell_dofs = jnp.asarray(cell_dofs, jnp.int32)
-        self.cell_coords = jnp.asarray(cell_coords, dtype)
         self.pattern = pattern
-        if pattern is not None:
-            self.indices = jnp.asarray(pattern.indices, jnp.int32)
-            self.row_ids = jnp.asarray(pattern.row_ids, jnp.int32)
-            self.ell_pos = jnp.asarray(pattern.ell_pos, jnp.int32)
-            self.diag_pos = jnp.asarray(pattern.diag_pos, jnp.int32)
+        self.arrays = AsmArrays(
+            cell_dofs=jnp.asarray(cell_dofs, jnp.int32),
+            cell_coords=jnp.asarray(cell_coords, dtype),
+            indices=jnp.asarray(pattern.indices, jnp.int32),
+            row_ids=jnp.asarray(pattern.row_ids, jnp.int32),
+            ell_pos=jnp.asarray(pattern.ell_pos, jnp.int32),
+            diag_pos=jnp.asarray(pattern.diag_pos, jnp.int32),
+        )
 
-    # -- residual ----------------------------------------------------------
+    # -- eager convenience (each call jit-cached by kernel identity) -------
     def residual(self, kernel: Callable, w: jnp.ndarray) -> jnp.ndarray:
-        """r = sum_e scatter(kernel_e). kernel(coords, w_e) -> (ndl,)."""
-        w_e = w[self.cell_dofs]                                   # (nc, ndl)
-        r_e = jax.vmap(kernel)(self.cell_coords, w_e)             # (nc, ndl)
-        return jax.ops.segment_sum(
-            r_e.reshape(-1), self.cell_dofs.reshape(-1),
-            num_segments=self.ndofs)
+        return residual_of(kernel, self.ndofs, self.arrays, w)
 
-    # -- matrix --------------------------------------------------------------
     def matrix_values(self, kernel: Callable, w: jnp.ndarray) -> jnp.ndarray:
-        """Block-CSR values of dr/dw at w: (nnzb, bs, bs)."""
-        assert self.pattern is not None
-        bs = self.pattern.bs
-        nbl = self.ell_pos.shape[1]
+        return matrix_values_of(
+            kernel, self.pattern.nnzb, self.pattern.bs, self.arrays, w)
 
-        def cell_jac(coords, w_e):
-            return jax.jacfwd(lambda ww: kernel(coords, ww))(w_e)  # (ndl, ndl)
-
-        J_e = jax.vmap(cell_jac)(self.cell_coords, w[self.cell_dofs])
-        nc = J_e.shape[0]
-        # (ndl, ndl) = (nbl*bs, nbl*bs) -> (nbl, nbl, bs, bs)
-        Jb = J_e.reshape(nc, nbl, bs, nbl, bs).transpose(0, 1, 3, 2, 4)
-        return jax.ops.segment_sum(
-            Jb.reshape(-1, bs, bs), self.ell_pos.reshape(-1),
-            num_segments=self.pattern.nnzb)
-
-    # -- SpMV ----------------------------------------------------------------
     def matvec(self, values: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-        """y = A x with A in block-CSR (values from matrix_values)."""
-        bs = self.pattern.bs
-        xb = x.reshape(-1, bs)
-        contrib = jnp.einsum(
-            "nij,nj->ni", values, xb[self.indices],
-            preferred_element_type=values.dtype)
-        yb = jax.ops.segment_sum(
-            contrib, self.row_ids, num_segments=self.pattern.n_rows)
-        return yb.reshape(-1)
+        return bcsr_matvec(self.arrays, self.pattern.n_rows, values, x)
 
     def diag_blocks(self, values: jnp.ndarray) -> jnp.ndarray:
-        """(n_rows, bs, bs) diagonal blocks."""
-        return values[self.diag_pos]
+        return values[self.arrays.diag_pos]
 
-    # -- BC-aware wrappers -----------------------------------------------------
+    # -- BC-aware wrappers ---------------------------------------------------
     def bc_operator(self, values: jnp.ndarray, mask: jnp.ndarray) -> Callable:
-        """Return A_bc(x) = P A P x + (I - P) x (rows+cols projected)."""
+        """A_bc(x) = P A P x + (I - P) x (rows+cols projected)."""
 
         def op(x):
             return mask * self.matvec(values, mask * x) + (1.0 - mask) * x
 
         return op
 
-    def bc_residual(
-        self, kernel: Callable, w: jnp.ndarray,
-        mask: jnp.ndarray, g: jnp.ndarray,
-    ) -> jnp.ndarray:
+    def bc_residual(self, kernel, w, mask, g) -> jnp.ndarray:
         """Residual with Dirichlet rows replaced by (w - g)."""
         r = self.residual(kernel, w)
         return mask * r + (1.0 - mask) * (w - g)
@@ -228,14 +244,7 @@ class Assembler:
         return values, self.bc_operator(values, mask), b_bc, mask
 
 
-def assembler_for_mixed(
-    space: MixedVelocityPressureSpace, dtype=None
-) -> Assembler:
-    """Assembler over the mixed space with node-block pattern (equal order)."""
-    import jax.numpy as jnp  # local to pick up x64 state at call time
-
-    if dtype is None:
-        dtype = jnp.zeros(0).dtype
+def assembler_for_mixed(space: MixedVelocityPressureSpace, dtype=None) -> Assembler:
     mesh = space.mesh
     coords = mesh.points[mesh.cells]
     if space.equal_order:
@@ -247,15 +256,8 @@ def assembler_for_mixed(
 
 
 def assembler_for_space(fs: FunctionSpace, dtype=None) -> Assembler:
-    import jax.numpy as jnp
-
-    if dtype is None:
-        dtype = jnp.zeros(0).dtype
     mesh = fs.mesh
     coords = mesh.points[mesh.cells]
     cd = fs.cell_dofs()
-    if fs.vs == 1:
-        pattern = build_pattern(fs.cell_dofs_scalar, fs.n_scalar_dofs, 1)
-    else:
-        pattern = build_pattern(fs.cell_dofs_scalar, fs.n_scalar_dofs, fs.vs)
+    pattern = build_pattern(fs.cell_dofs_scalar, fs.n_scalar_dofs, fs.vs)
     return Assembler(cd, coords, fs.ndofs, pattern, dtype)

@@ -153,10 +153,14 @@ def make_ns_ugn_kernel(
         div_u = jnp.einsum("qii->q", grad_u)
         p_q = jnp.einsum("qa,a->q", phi, p_n)
 
-        u_norm = jnp.sqrt(jnp.sum(u_q * u_q, axis=1))
+        u_sq = jnp.sum(u_q * u_q, axis=1)
+        # |u| with a derivative-safe floor (kernel is differentiated by
+        # jacfwd; bare sqrt has a NaN gradient at u = 0 which happens on
+        # all-wall cells of coarse meshes).  finfo.tiny keeps the guard
+        # representable in f32 on TPU.
+        u_norm = jnp.sqrt(u_sq + jnp.finfo(dtype).tiny)
         # tau_1 = h/(2|u|) with the reference's guard at |u| <= 1e-8
-        inv_tau1_sq = jnp.where(
-            u_norm <= 1e-8, 0.0, (2.0 * u_norm / h) ** 2)
+        inv_tau1_sq = jnp.where(u_norm <= 1e-8, 0.0, 4.0 * u_sq / (h * h))
         tau3 = h * h / (4.0 * nu)
         tau_supg = 1.0 / jnp.sqrt(inv_tau1_sq + 1.0 / tau3**2)
         re_ugn = u_norm * h / (2.0 * nu)

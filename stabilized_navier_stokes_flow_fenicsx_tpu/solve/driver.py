@@ -1,0 +1,125 @@
+"""Jitted end-to-end solve drivers over block-CSR assembled systems.
+
+These are the equivalents of ``fem.petsc.LinearProblem`` and the SNES driver
+(reference NavierStokes/NavierStokesChannelFlow.py:197-218, 268-312), as
+single jit-compiled programs: assembly, preconditioner setup, Krylov/Newton
+iteration all fuse into one XLA executable; the host only sees the final
+state.  All mesh data flows through as arguments (never closure constants).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..assemble.assembly import (
+    AsmArrays, bcsr_matvec, matrix_values_of, residual_of)
+from .krylov import KrylovResult, cg, fgmres
+from .newton import NewtonResult, newton_solve
+from .precond import block_jacobi
+
+
+def _bc_op(arrays, n_rows, values, mask):
+    def op(x):
+        return mask * bcsr_matvec(arrays, n_rows, values, mask * x) \
+            + (1.0 - mask) * x
+    return op
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def solve_linear_bcsr(
+    kernel: Callable,
+    ndofs: int,
+    nnzb: int,
+    bs: int,
+    n_rows: int,
+    rtol: float,
+    restart: int,
+    arrays: AsmArrays,
+    mask: jnp.ndarray,
+    g: jnp.ndarray,
+) -> KrylovResult:
+    """Assemble the affine form and solve with FGMRES + node-block Jacobi."""
+    zero = jnp.zeros(ndofs, mask.dtype)
+    values = matrix_values_of(kernel, nnzb, bs, arrays, zero)
+    b = -residual_of(kernel, ndofs, arrays, zero)
+    b_bc = mask * (b - bcsr_matvec(arrays, n_rows, values, g)) + g
+    A = _bc_op(arrays, n_rows, values, mask)
+    M = block_jacobi(values[arrays.diag_pos], mask)
+    return fgmres(A, b_bc, M=M, rtol=rtol, restart=restart, max_restarts=80)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def solve_spd_cg(
+    kernel: Callable,
+    ndofs: int,
+    rtol: float,
+    arrays: AsmArrays,
+    mask: jnp.ndarray,
+    g: jnp.ndarray,
+) -> KrylovResult:
+    """Assemble an SPD affine form (Poisson) and solve with Jacobi-CG.
+
+    Matrix-free: A x comes from the linearity of the residual kernel,
+    A x = r(x) - r(0), so no sparsity pattern is needed at all.
+    """
+    zero = jnp.zeros(ndofs, mask.dtype)
+    r0 = residual_of(kernel, ndofs, arrays, zero)
+    b = -r0
+
+    def A(x):
+        ax = residual_of(kernel, ndofs, arrays, x) - r0
+        return mask * ax + (1.0 - mask) * x
+
+    def A_raw(x):
+        return residual_of(kernel, ndofs, arrays, x) - r0
+
+    b_bc = mask * (b - A_raw(g)) + g
+    # Jacobi diagonal via probing the residual with basis... too costly;
+    # use unpreconditioned CG (inlet Poisson systems are tiny and well
+    # conditioned after the h^2 scaling).
+    return cg(A, b_bc, rtol=rtol, max_it=ndofs * 4)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4) + tuple(range(9, 16)))
+def solve_newton_bcsr(
+    kernel: Callable,
+    ndofs: int,
+    nnzb: int,
+    bs: int,
+    n_rows: int,
+    arrays: AsmArrays,
+    mask: jnp.ndarray,
+    g: jnp.ndarray,
+    w0: jnp.ndarray,
+    rtol: float = 1e-8,
+    atol: float = 1e-8,
+    max_it: int = 30,
+    ksp_rtol: float = 1e-8,
+    ksp_restart: int = 50,
+    ksp_max_restarts: int = 40,
+    monitor: bool = False,
+) -> NewtonResult:
+    """Newton on a nonlinear form with BC rows substituted (SNES semantics)."""
+
+    def residual(w):
+        r = residual_of(kernel, ndofs, arrays, w)
+        return mask * r + (1.0 - mask) * (w - g)
+
+    def jac_values(w):
+        return matrix_values_of(kernel, nnzb, bs, arrays, w)
+
+    def make_op(values):
+        return _bc_op(arrays, n_rows, values, mask)
+
+    def make_pc(values):
+        return block_jacobi(values[arrays.diag_pos], mask)
+
+    return newton_solve(
+        residual, jac_values, make_op, make_pc, w0,
+        rtol=rtol, atol=atol, max_it=max_it, ksp_rtol=ksp_rtol,
+        ksp_restart=ksp_restart, ksp_max_restarts=ksp_max_restarts,
+        monitor=monitor)

@@ -192,10 +192,13 @@ def fgmres(
 
         # back-substitution on the triangularized H (masked for early exit:
         # columns never formed have H[j,j]=0 -> treat y_j = 0)
+        col_ids = jnp.arange(m)
+
         def back(i, y):
             j = m - 1 - i
             hj = H[j, j]
-            num = g[j] - jnp.dot(H[j, j + 1 :], y[j + 1 :])
+            upper = jnp.where(col_ids > j, H[j, :], 0.0)
+            num = g[j] - jnp.dot(upper, y)
             yj = jnp.where(jnp.abs(hj) > 0, num / hj, 0.0)
             return y.at[j].set(yj)
 

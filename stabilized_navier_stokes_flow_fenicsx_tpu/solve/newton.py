@@ -28,6 +28,9 @@ class NewtonResult(NamedTuple):
     iters: jnp.ndarray
     resnorm: jnp.ndarray
     converged: jnp.ndarray
+    # per-iteration history (length max_it, padded with -1):
+    #   [|F| after step, line-search lambda, KSP iters, KSP final resnorm]
+    history: jnp.ndarray
 
 
 def newton_solve(
@@ -50,13 +53,14 @@ def newton_solve(
     f0 = residual(x0)
     n0 = jnp.linalg.norm(f0)
     tol = jnp.maximum(rtol * n0, atol)
+    hist0 = jnp.full((max_it, 4), -1.0, x0.dtype)
 
     def cond(s):
-        x, fnorm, it, stalled = s
+        x, fnorm, it, stalled, hist = s
         return (fnorm > tol) & (it < max_it) & (~stalled)
 
     def body(s):
-        x, fnorm, it, _ = s
+        x, fnorm, it, _, hist = s
         F = residual(x)
         vals = jac_values(x)
         A = make_operator(vals)
@@ -85,12 +89,10 @@ def newton_solve(
         new_norm = jnp.where(accepted, new_norm,
                              jnp.linalg.norm(residual(x_new)))
         stalled = (~accepted) & (new_norm >= fnorm)
-        if monitor:
-            jax.debug.print(
-                "newton it={it} |F|={fn:.6e} lambda={lam:.3f} ksp_iters={ki}",
-                it=it, fn=new_norm, lam=lam, ki=sol.iters)
-        return (x_new, new_norm, it + 1, stalled)
+        hist = hist.at[it].set(jnp.stack([
+            new_norm, lam, sol.iters.astype(x.dtype), sol.resnorm]))
+        return (x_new, new_norm, it + 1, stalled, hist)
 
-    state = (x0, n0, jnp.array(0, jnp.int32), jnp.array(False))
-    x, fnorm, it, _ = jax.lax.while_loop(cond, body, state)
-    return NewtonResult(x, it, fnorm, fnorm <= tol)
+    state = (x0, n0, jnp.array(0, jnp.int32), jnp.array(False), hist0)
+    x, fnorm, it, _, hist = jax.lax.while_loop(cond, body, state)
+    return NewtonResult(x, it, fnorm, fnorm <= tol, hist)
