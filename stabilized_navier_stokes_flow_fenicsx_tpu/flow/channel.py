@@ -1,0 +1,227 @@
+"""Image-defined channel flow: Stokes -> coarse NS -> fine NS continuation.
+
+The flagship pipeline, replicating reference
+NavierStokes/NavierStokesChannelFlow.py:468-549 (solve_NS_flow):
+
+  1. inlet profiles from the image (flow/inlet.py; reference :102-104)
+  2. coarse channel mesh (lc = 0.1; reference :515)
+  3. P1-P1 mixed space + BCs: no-slip walls (marker 4), inlet Dirichlet
+     velocity from the interpolated 2D profiles (markers 1, 2), outlet
+     pressure 0 (marker 3) (reference :127-147)
+  4. stabilized Stokes solve (mu_T = 0.2 h^2; reference :160-218)
+  5. coarse Navier-Stokes Newton solve from the Stokes guess
+     (G-metric SUPS/LSIC form; reference :220-312)
+  6. fine mesh at the user lc; coarse solution interpolated as the initial
+     guess (non-matching interpolation; reference :175-194, :526-530)
+  7. fine Navier-Stokes Newton solve
+
+All solves run as single jitted XLA programs on the device; meshing and
+interpolation are host-side numpy setup.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..assemble.assembly import Assembler, assembler_for_mixed
+from ..config import Config, DEFAULT
+from ..fem.bc import DirichletBC, bc_mask, bc_vector, combine_bcs
+from ..fem.interpolate import build_locator, interpolate_p1_np
+from ..fem.space import MixedVelocityPressureSpace, make_mixed_space
+from ..forms.navier_stokes import make_ns_sups_kernel
+from ..forms.stokes import make_stokes_kernel
+from ..mesh.core import SimplexMesh
+from ..mesh.extrude import extrude_channel
+from ..mesh.image import get_contours, load_image, optimize_contour
+from ..mesh.tri2d import triangulate_cross_section
+from ..solve.driver import solve_linear_bcsr, solve_newton_bcsr
+from .inlet import InletProfile, solve_inlet_profiles
+
+
+@dataclasses.dataclass
+class ChannelSolution:
+    mesh: SimplexMesh
+    space: MixedVelocityPressureSpace
+    w: np.ndarray
+    u: np.ndarray                  # (n_nodes, 3)
+    p: np.ndarray                  # (n_nodes,)
+    Re: float
+    newton_iters: int
+    newton_resnorm: float
+    converged: bool
+    timings: dict
+
+
+def generate_channel_mesh(
+    img_fname: str, lc: float, cfg: Config = DEFAULT
+) -> Tuple[SimplexMesh, np.ndarray, np.ndarray]:
+    """Image -> marked 3D channel tet mesh (reference image2gmsh3D.main).
+
+    Returns (mesh, inner_loop, outer_loop) in (y, z) coordinates.
+    """
+    gray = load_image(img_fname)
+    contours = get_contours(gray, cfg.contour)
+    if len(contours) != 2:
+        raise ValueError(
+            f"expected 2 contours in {img_fname}, found {len(contours)}")
+    outer_c, _ = optimize_contour(
+        contours[0], cfg.contour.fft_cutoff_3d, cfg.contour.rdp_epsilon,
+        cfg.contour.mesh_lc_frac_3d)
+    inner_c, _ = optimize_contour(
+        contours[1], cfg.contour.fft_cutoff_3d, cfg.contour.rdp_epsilon,
+        cfg.contour.mesh_lc_frac_3d)
+    inner_loop = inner_c[:, [1, 0]]
+    outer_loop = outer_c[:, [1, 0]]
+    tri = triangulate_cross_section(
+        inner_loop, outer_loop, lc, cfg.channel.half_width)
+    mesh = extrude_channel(tri, inner_loop, cfg.channel, lc)
+    return mesh, inner_loop, outer_loop
+
+
+def channel_bcs(
+    mesh: SimplexMesh,
+    W: MixedVelocityPressureSpace,
+    inlet1: InletProfile,
+    inlet2: InletProfile,
+) -> DirichletBC:
+    """No-slip walls + inlet profiles + outlet pressure (reference
+    :127-147).  List order matches the reference's set_bc order (later
+    wins on shared dofs)."""
+
+    def vdofs(nodes):
+        return np.stack(
+            [W.velocity_dof(nodes, c) for c in range(3)], -1).ravel()
+
+    wall = mesh.nodes_with_marker(4)
+    n1 = mesh.nodes_with_marker(1)
+    n2 = mesh.nodes_with_marker(2)
+    out = mesh.nodes_with_marker(3)
+
+    v1 = np.zeros((len(n1), 3))
+    v1[:, 0] = inlet1.eval(mesh.points[n1][:, 1:3])
+    v2 = np.zeros((len(n2), 3))
+    v2[:, 0] = inlet2.eval(mesh.points[n2][:, 1:3])
+
+    return combine_bcs([
+        DirichletBC(vdofs(wall), np.zeros(3 * len(wall))),
+        DirichletBC(vdofs(n1), v1.ravel()),
+        DirichletBC(vdofs(n2), v2.ravel()),
+        DirichletBC(W.pressure_dof(out), np.zeros(len(out))),
+    ])
+
+
+def interpolate_solution(
+    src_mesh: SimplexMesh,
+    src_space: MixedVelocityPressureSpace,
+    w_src: np.ndarray,
+    dst_mesh: SimplexMesh,
+    dst_space: MixedVelocityPressureSpace,
+) -> np.ndarray:
+    """Coarse -> fine initial guess (reference interpolate_initial_guess,
+    :175-194; padding 1e-6, outside points get zero)."""
+    u, p = src_space.split(w_src)
+    loc = build_locator(src_mesh)
+    pts = dst_mesh.points
+    u_i = interpolate_p1_np(src_mesh, np.asarray(u), pts, loc, tol=1e-6)
+    p_i = interpolate_p1_np(src_mesh, np.asarray(p), pts, loc, tol=1e-6)
+    return np.asarray(dst_space.combine(u_i, p_i))
+
+
+def _setup(mesh, inlet1, inlet2):
+    W = make_mixed_space(mesh, 1, 1)
+    asm = assembler_for_mixed(W)
+    bc = channel_bcs(mesh, W, inlet1, inlet2)
+    mask = jnp.asarray(bc_mask(W.ndofs, bc), asm.dtype)
+    g = jnp.asarray(bc_vector(W.ndofs, bc), asm.dtype)
+    return W, asm, mask, g
+
+
+def solve_ns_flow(
+    Re: float,
+    img_fname: str,
+    flowrate_ratio: float,
+    channel_mesh_size: float = 0.1,
+    cfg: Config = DEFAULT,
+    coarse_Re: Optional[float] = None,
+    coarse_lc: float = 0.1,
+) -> ChannelSolution:
+    """Full continuation solve (reference solve_NS_flow, :468-549).
+
+    coarse_Re defaults to the target Re (solve_NS_flow:522); the reference
+    main() instead uses Re=1 for the coarse pass (:567).
+    """
+    scfg = cfg.solver
+    timings = {}
+
+    t0 = time.time()
+    inlet1, inlet2 = solve_inlet_profiles(img_fname, flowrate_ratio, cfg)
+    timings["inlet_profiles"] = time.time() - t0
+
+    # ---- coarse mesh: Stokes + NS --------------------------------------
+    t0 = time.time()
+    mesh_c, inner_loop, _ = generate_channel_mesh(img_fname, coarse_lc, cfg)
+    timings["coarse_mesh"] = time.time() - t0
+    W_c, asm_c, mask_c, g_c = _setup(mesh_c, inlet1, inlet2)
+    pat = asm_c.pattern
+
+    t0 = time.time()
+    stokes_k = make_stokes_kernel(
+        "tetrahedron", nu=1.0, mu_T_coeff=cfg.stab.stokes_mu_T_coeff)
+    sres = solve_linear_bcsr(
+        stokes_k, asm_c.ndofs, pat.nnzb, pat.bs, pat.n_rows,
+        1e-8, scfg.ksp_restart, asm_c.arrays, mask_c, g_c)
+    timings["stokes"] = time.time() - t0
+
+    cRe = Re if coarse_Re is None else coarse_Re
+    t0 = time.time()
+    ns_c = make_ns_sups_kernel(
+        "tetrahedron", nu=1.0 / cRe, C_I=cfg.stab.C_I,
+        transposed_stab=cfg.stab.transposed_advection_in_stab)
+    nres_c = solve_newton_bcsr(
+        ns_c, asm_c.ndofs, pat.nnzb, pat.bs, pat.n_rows,
+        asm_c.arrays, mask_c, g_c, sres.x,
+        rtol=scfg.newton_rtol, atol=scfg.newton_atol,
+        max_it=scfg.newton_max_it, ksp_rtol=scfg.ksp_rtol,
+        ksp_restart=scfg.ksp_restart)
+    timings["coarse_ns"] = time.time() - t0
+    w_c = np.asarray(nres_c.x)
+
+    # ---- fine mesh: NS from interpolated coarse ------------------------
+    if abs(channel_mesh_size - coarse_lc) < 1e-12:
+        mesh_f, W_f, w0_f = mesh_c, W_c, nres_c.x
+        asm_f, mask_f, g_f = asm_c, mask_c, g_c
+    else:
+        t0 = time.time()
+        mesh_f, inner_loop, _ = generate_channel_mesh(
+            img_fname, channel_mesh_size, cfg)
+        timings["fine_mesh"] = time.time() - t0
+        W_f, asm_f, mask_f, g_f = _setup(mesh_f, inlet1, inlet2)
+        t0 = time.time()
+        w0_f = jnp.asarray(interpolate_solution(mesh_c, W_c, w_c,
+                                                mesh_f, W_f))
+        timings["interpolate"] = time.time() - t0
+
+    patf = asm_f.pattern
+    t0 = time.time()
+    ns_f = make_ns_sups_kernel(
+        "tetrahedron", nu=1.0 / Re, C_I=cfg.stab.C_I,
+        transposed_stab=cfg.stab.transposed_advection_in_stab)
+    nres_f = solve_newton_bcsr(
+        ns_f, asm_f.ndofs, patf.nnzb, patf.bs, patf.n_rows,
+        asm_f.arrays, mask_f, g_f, w0_f,
+        rtol=scfg.newton_rtol, atol=scfg.newton_atol,
+        max_it=scfg.newton_max_it, ksp_rtol=scfg.ksp_rtol,
+        ksp_restart=scfg.ksp_restart)
+    timings["fine_ns"] = time.time() - t0
+
+    w = np.asarray(nres_f.x)
+    u, p = W_f.split(w)
+    return ChannelSolution(
+        mesh_f, W_f, w, np.asarray(u), np.asarray(p), Re,
+        int(nres_f.iters), float(nres_f.resnorm), bool(nres_f.converged),
+        timings)

@@ -110,8 +110,8 @@ def make_ns_sups_kernel(
             r_u += jnp.einsum("q,q,qi,qa->ai", wq, tau, res_m, u_dot_g)
         r_p += jnp.einsum("q,qa->a", wq * tau, res_dot_g)
 
-        # LSIC: nu_lsic div(v) div(u)
-        r_u += nu_lsic * jnp.einsum("q,q,qai->ai", wq, div_u, g)
+        # LSIC: nu_lsic div(v) div(u)   (nu_lsic varies per qp through tau)
+        r_u += jnp.einsum("q,q,qai->ai", wq * nu_lsic, div_u, g)
 
         r = jnp.concatenate([r_u, r_p[:, None]], axis=1).reshape(-1)
         return r * detJ
