@@ -18,8 +18,10 @@ arrays.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -164,13 +166,17 @@ def interpolate_p1_np(
 # ---- jnp query path (used by the vmapped streamtracer) --------------------
 
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["lo", "inv_h", "table", "x0", "Tinv", "cells"],
+         meta_fields=["dim", "shape"])
 @dataclasses.dataclass
 class DeviceLocator:
     """GridLocator data as jnp arrays + a padded per-bin candidate table.
 
     The CSR bin lists are densified to (n_bins, max_per_bin) so a query is
     three gathers and a vectorized barycentric test — no data-dependent
-    shapes anywhere.
+    shapes anywhere.  Registered as a pytree (dim/shape static) so it can
+    flow through jit as an argument.
     """
 
     dim: int
