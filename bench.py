@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Benchmark: NS channel assembly + Newton wall-clock near 1M DOFs.
+
+Matches the driver-defined metric (BASELINE.md): stabilized Navier-Stokes
+on the image-derived channel — per-iteration cost of the Newton loop
+(residual+Jacobian block-CSR assembly, node-block-Jacobi FGMRES) on one
+TPU chip.  Work per measured run is fixed (5 Newton iterations with a
+capped inner solve), so the number is comparable across rounds.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...}
+vs_baseline is the speedup vs the previous round's recorded BENCH_r*.json
+(1.0 in round 1 — the reference publishes no numbers, BASELINE.md).
+"""
+
+import glob
+import json
+import os
+import re
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+
+def build_problem(lc: float):
+    import jax.numpy as jnp
+
+    from stabilized_navier_stokes_flow_fenicsx_tpu.assemble.assembly import (
+        assembler_for_mixed)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.config import DEFAULT
+    from stabilized_navier_stokes_flow_fenicsx_tpu.fem.bc import (
+        bc_mask, bc_vector)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.fem.space import (
+        make_mixed_space)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.flow.channel import (
+        channel_bcs, generate_channel_mesh)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.flow.inlet import (
+        solve_inlet_profiles)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.utils.testimg import (
+        make_annulus_image)
+
+    img = "/tmp/bench_circle.png"
+    if not os.path.exists(img):
+        make_annulus_image(img, "circle")
+    inlet1, inlet2 = solve_inlet_profiles(img, 0.5, DEFAULT)
+    mesh, _, _ = generate_channel_mesh(img, lc, DEFAULT)
+    W = make_mixed_space(mesh, 1, 1)
+    asm = assembler_for_mixed(W)
+    bc = channel_bcs(mesh, W, inlet1, inlet2)
+    mask = jnp.asarray(bc_mask(W.ndofs, bc), asm.dtype)
+    g = jnp.asarray(bc_vector(W.ndofs, bc), asm.dtype)
+    return mesh, W, asm, mask, g
+
+
+def run_bench(lc: float, newton_its: int = 5):
+    import jax
+    import jax.numpy as jnp
+
+    from stabilized_navier_stokes_flow_fenicsx_tpu.forms.navier_stokes import (
+        make_ns_sups_kernel)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.solve.driver import (
+        solve_newton_bcsr)
+
+    t0 = time.time()
+    mesh, W, asm, mask, g = build_problem(lc)
+    setup_s = time.time() - t0
+    pat = asm.pattern
+    kern = make_ns_sups_kernel("tetrahedron", nu=1.0 / 10.0)
+
+    def run():
+        out = solve_newton_bcsr(
+            kern, asm.ndofs, pat.nnzb, pat.bs, pat.n_rows,
+            asm.arrays, mask, g, g,           # start from BC lift: fixed work
+            rtol=0.0, atol=0.0, max_it=newton_its,
+            ksp_rtol=1e-8, ksp_restart=50, ksp_max_restarts=2)
+        jax.block_until_ready(out.x)
+        return out
+
+    t0 = time.time()
+    out = run()                               # includes compile
+    resnorm = float(out.resnorm)              # full sync through host read
+    first_s = time.time() - t0
+    # shared-pool TPU: take the min of repeated runs to suppress
+    # multi-tenant contention noise
+    steady_s = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        out = run()
+        resnorm = float(out.resnorm)
+        steady_s = min(steady_s, time.time() - t0)
+    return {
+        "ndofs": W.ndofs,
+        "n_cells": mesh.n_cells,
+        "setup_s": round(setup_s, 2),
+        "first_run_s": round(first_s, 2),
+        "steady_s": round(steady_s, 3),
+        "newton_its": int(out.iters),
+        "resnorm": resnorm,
+    }
+
+
+def previous_round_value():
+    best = None
+    for f in sorted(glob.glob("BENCH_r*.json")):
+        try:
+            d = json.load(open(f))
+            if isinstance(d, dict) and "value" in d:
+                best = float(d["value"])
+        except Exception:
+            pass
+    return best
+
+
+def main():
+    lc = float(sys.argv[1]) if len(sys.argv) > 1 else 0.028
+    try:
+        info = run_bench(lc)
+    except Exception as e:
+        sys.stderr.write(f"bench at lc={lc} failed ({e}); retrying smaller\n")
+        info = run_bench(0.05)
+    value = info["steady_s"]
+    prev = previous_round_value()
+    vs = round(prev / value, 3) if prev else 1.0
+    sys.stderr.write(json.dumps(info) + "\n")
+    print(json.dumps({
+        "metric": f"ns_channel_assembly_newton_5it_wallclock_{info['ndofs']}dofs",
+        "value": value,
+        "unit": "s",
+        "vs_baseline": vs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

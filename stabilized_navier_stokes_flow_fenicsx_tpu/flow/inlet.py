@@ -16,19 +16,13 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
-from ..assemble.assembly import assembler_for_space
 from ..config import Config, DEFAULT
-from ..fem.bc import DirichletBC, bc_mask, bc_vector
 from ..fem.interpolate import GridLocator, build_locator, interpolate_p1_np
-from ..fem.space import make_space
-from ..forms.poisson import make_poisson_kernel
 from ..mesh.core import SimplexMesh, boundary_facets
 from ..mesh.image import get_contours, load_image, optimize_contour
 from ..mesh.tri2d import triangulate_polygon, triangulate_square_minus
-from ..solve.driver import solve_spd_cg
 
 
 @dataclasses.dataclass
@@ -57,18 +51,46 @@ def _p1_integral(mesh: SimplexMesh, u: np.ndarray) -> float:
 
 
 def solve_poisson_profile(mesh: SimplexMesh, forcing: float = 10.0,
-                          rtol: float = 1e-12) -> Tuple[np.ndarray, float, float]:
+                          ) -> Tuple[np.ndarray, float, float]:
     """-lap u = forcing, u = 0 on the whole boundary. Returns
-    (nodal u, area, mean velocity) — reference image2inlet.py:240-291."""
-    fs = make_space(mesh, 1)
-    asm = assembler_for_space(fs)
+    (nodal u, area, mean velocity) — reference image2inlet.py:240-291.
+
+    These systems are tiny (O(1k) dofs) preprocessing — the reference
+    solves them with MUMPS LU (image2inlet.py:272).  A host-side sparse LU
+    (exact, like the reference) beats shipping two fresh XLA programs to
+    the accelerator; the device path stays the job of the 3D solves.
+    """
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.linalg import spsolve
+
+    pts = mesh.points[:, :2]
+    cells = mesh.cells
+    n = mesh.n_nodes
+    # P1 stiffness via the cotangent/gradient formula
+    p = pts[cells]                                # (nc, 3, 2)
+    e = p[:, 1:, :] - p[:, :1, :]                 # (nc, 2, 2) rows=edges
+    det = e[:, 0, 0] * e[:, 1, 1] - e[:, 0, 1] * e[:, 1, 0]
+    area2 = np.abs(det)
+    inv = np.empty_like(e)                        # inverse of [e0; e1]^T
+    inv[:, 0, 0] = e[:, 1, 1] / det
+    inv[:, 0, 1] = -e[:, 0, 1] / det
+    inv[:, 1, 0] = -e[:, 1, 0] / det
+    inv[:, 1, 1] = e[:, 0, 0] / det
+    gref = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
+    # invJ = (e^{-1})^T since J = e^T (columns are edge vectors)
+    grads = np.einsum("ak,nik->nai", gref, inv)   # (nc, 3, 2)
+    Ke = np.einsum("nai,nbi,n->nab", grads, grads, area2 / 2.0)
+    rows = np.repeat(cells, 3, axis=1).ravel()
+    cols = np.tile(cells, (1, 3)).ravel()
+    A = coo_matrix((Ke.ravel(), (rows, cols)), shape=(n, n)).tocsr()
+    b = np.zeros(n)
+    np.add.at(b, cells.ravel(),
+              np.repeat(forcing * area2 / 6.0, 3))
     bnodes = np.unique(boundary_facets(mesh).ravel())
-    bc = DirichletBC(bnodes, np.zeros(len(bnodes)))
-    mask = jnp.asarray(bc_mask(fs.ndofs, bc), asm.dtype)
-    g = jnp.asarray(bc_vector(fs.ndofs, bc), asm.dtype)
-    kern = make_poisson_kernel("triangle", 1, forcing=forcing)
-    res = solve_spd_cg(kern, fs.ndofs, rtol, asm.arrays, mask, g)
-    u = np.asarray(res.x)
+    free = np.ones(n, dtype=bool)
+    free[bnodes] = False
+    u = np.zeros(n)
+    u[free] = spsolve(A[free][:, free].tocsc(), b[free])
     area = float(mesh.cell_volumes().sum())
     avg = _p1_integral(mesh, u) / area
     return u, area, avg

@@ -253,7 +253,9 @@ def rdp(points: np.ndarray, epsilon: float) -> np.ndarray:
         if L < 1e-300:
             dist = np.linalg.norm(seg - p0, axis=1)
         else:
-            dist = np.abs(np.cross(d / L, seg - p0))
+            dn = d / L
+            rel = seg - p0
+            dist = np.abs(dn[0] * rel[:, 1] - dn[1] * rel[:, 0])
         k = int(np.argmax(dist))
         if dist[k] > epsilon:
             keep[i0 + 1 + k] = True
