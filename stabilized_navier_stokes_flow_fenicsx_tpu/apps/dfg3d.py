@@ -1,0 +1,144 @@
+"""DFG 3D pillar benchmark (3D-1Z, Re=20).
+
+Replicates reference NavierStokes/Validation_Flow/DFG_3D_Validation.py:
+channel [0,2.2]x[0,0.41]x[0,0.41] with a circular pillar (c=(0.5,0.2),
+r=0.05) extruded through the span (dfg_pillar_3D.geo:33-36,96);
+bi-parabolic inlet u_x = 0.45 * 16 y z (0.41-y)(0.41-z)/0.41^4 (:103-106);
+Stokes init -> G-metric SUPS Navier-Stokes at nu = 1e-3 (:193);
+drag/lift from the traction integral sigma.(-n) over the pillar with
+C = 2F/(rho Uc^2 Lc), Uc = 0.2, Lc = 0.041 (:344-367).
+
+Markers: 2 = inlet, 3 = outlet, 4 = walls (incl. z-planes), 5 = obstacle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..assemble.assembly import assembler_for_mixed
+from ..config import SolverConfig
+from ..fem.bc import DirichletBC, bc_mask, bc_vector, combine_bcs
+from ..fem.space import make_mixed_space
+from ..flow.forces import traction_force_3d
+from ..forms.navier_stokes import make_ns_sups_kernel
+from ..forms.stokes import make_stokes_kernel
+from ..mesh.core import SimplexMesh, mark_boundary_facets
+from ..mesh.extrude import extrude_tri_mesh
+from ..mesh.sizefield import triangulate_sizefield
+from ..solve.newton_host import linear_host_lu, newton_host_lu
+
+L, W = 2.2, 0.41
+CX, CY, R = 0.5, 0.2, 0.05
+NU = 1e-3
+UC, LC_REF = 0.2, 0.1 * 0.41
+
+
+def dfg3d_mesh(scale: float = 1.0) -> SimplexMesh:
+    lc_far = 0.09 * scale
+    lc_wake = 0.035 * scale
+    lc_cyl = 0.014 * scale
+
+    def lc_fn(p):
+        p = np.atleast_2d(p)
+        d = np.hypot(p[:, 0] - CX, p[:, 1] - CY) - R
+        near = lc_cyl + 0.3 * np.maximum(d, 0.0)
+        wake = np.where(
+            (p[:, 0] > CX) & (p[:, 0] < 1.4) & (np.abs(p[:, 1] - CY) < 0.15),
+            lc_wake, lc_far)
+        return np.minimum(near, wake)
+
+    rect = np.array([[0, 0], [L, 0], [L, W], [0, W]], dtype=float)
+    th = np.linspace(0, 2 * np.pi, 128, endpoint=False)
+    circle = np.stack([CX + R * np.cos(th), CY + R * np.sin(th)], axis=1)
+    tri = triangulate_sizefield(rect, [circle], lc_fn, lc_min=lc_cyl)
+    n_layers = max(4, int(np.ceil(W / (2.5 * lc_cyl))))
+    msh = extrude_tri_mesh(tri, np.linspace(0.0, W, n_layers + 1))
+    eps = 1e-9
+
+    def on_pillar(p):
+        return np.hypot(p[:, 0] - CX, p[:, 1] - CY) < R + 0.25 * lc_cyl
+
+    mark_boundary_facets(msh, {
+        2: lambda p: p[:, 0] < eps,
+        3: lambda p: p[:, 0] > L - eps,
+        5: on_pillar,
+    }, default=4)
+    return msh
+
+
+@dataclasses.dataclass
+class DFG3DResult:
+    mesh: SimplexMesh
+    u: np.ndarray
+    p: np.ndarray
+    cd: float
+    cl: float
+    newton_iters: int
+    converged: bool
+
+
+def solve_dfg3d(scale: float = 1.0,
+                solver: Optional[SolverConfig] = None) -> DFG3DResult:
+    cfg = solver or SolverConfig()
+    mesh = dfg3d_mesh(scale)
+    Wsp = make_mixed_space(mesh, 1, 1)
+    asm = assembler_for_mixed(Wsp)
+
+    inlet = mesh.nodes_with_marker(2)
+    walls = mesh.nodes_with_marker(4)
+    obst = mesh.nodes_with_marker(5)
+
+    def vdofs(nodes):
+        return np.stack(
+            [Wsp.velocity_dof(nodes, c) for c in range(3)], -1).ravel()
+
+    iv = np.zeros((len(inlet), 3))
+    y, z = mesh.points[inlet, 1], mesh.points[inlet, 2]
+    iv[:, 0] = (4 * y * (W - y) / W**2) * (4 * z * (W - z) / W**2) * 0.45
+    bc = combine_bcs([
+        DirichletBC(vdofs(inlet), iv.ravel()),
+        DirichletBC(vdofs(walls), np.zeros(3 * len(walls))),
+        DirichletBC(vdofs(obst), np.zeros(3 * len(obst))),
+    ])
+    mask = jnp.asarray(bc_mask(Wsp.ndofs, bc), asm.dtype)
+    g = jnp.asarray(bc_vector(Wsp.ndofs, bc), asm.dtype)
+
+    stokes_k = make_stokes_kernel("tetrahedron", nu=1.0, mu_T_coeff=0.2)
+    x = jnp.asarray(linear_host_lu(asm, stokes_k, mask, g))
+
+    for nu_step in (1e-1, 1e-2, 3e-3, NU):
+        ns_k = make_ns_sups_kernel("tetrahedron", nu=nu_step)
+        nres = newton_host_lu(asm, ns_k, mask, g, x,
+                              rtol=1e-8, atol=1e-9,
+                              max_it=cfg.newton_max_it)
+        x = jnp.asarray(nres.x)
+
+    w = np.asarray(nres.x)
+    u, p = Wsp.split(w)
+    u, p = np.asarray(u), np.asarray(p)
+    # reference uses n = -FacetNormal (out of the obstacle): flip the
+    # domain-outward traction
+    F = -traction_force_3d(mesh, u, p, 5, NU)
+    cd = 2 * F[0] / (UC**2 * LC_REF)
+    cl = 2 * F[1] / (UC**2 * LC_REF)
+    return DFG3DResult(mesh, u, p, float(cd), float(cl),
+                       int(nres.iters), bool(nres.converged))
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    scale = float(argv[0]) if argv else 1.5
+    r = solve_dfg3d(scale)
+    print(f"Velocity Degrees of Freedom: {3 * r.mesh.n_nodes}")
+    print(f"Coefficient of Lift: {r.cl}")
+    print(f"Coefficient of Drag: {r.cd}")
+    return r
+
+
+if __name__ == "__main__":
+    main()

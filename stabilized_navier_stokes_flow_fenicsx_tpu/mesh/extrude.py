@@ -84,6 +84,33 @@ def grade_layers(geom: ChannelGeometry, lc: float) -> np.ndarray:
     return np.array(planes)
 
 
+def extrude_tri_mesh(
+    tri_mesh: SimplexMesh,
+    z_planes: np.ndarray,
+) -> SimplexMesh:
+    """Generic prism extrusion of a 2D triangle mesh along z.
+
+    2D points (x, y) become (x, y, z); the gmsh ``Extrude{...; Layers{n}}``
+    equivalent used by the DFG 3D pillar mesh (reference
+    Validation_Flow/dfg_pillar_3D.geo:96).
+    """
+    pts2 = tri_mesh.points[:, :2]
+    tris = tri_mesh.cells.astype(np.int64)
+    np2 = pts2.shape[0]
+    nl = len(z_planes) - 1
+    Z = np.repeat(z_planes, np2)
+    XY = np.tile(pts2, (len(z_planes), 1))
+    points = np.column_stack([XY, Z])
+    prisms = []
+    for l in range(nl):
+        bot = tris + l * np2
+        top = tris + (l + 1) * np2
+        prisms.append(np.concatenate([bot, top], axis=1))
+    tets = split_prisms(np.concatenate(prisms, axis=0))
+    mesh = SimplexMesh("tetrahedron", points, tets.astype(np.int32))
+    return mesh.orient_positive()
+
+
 def extrude_channel(
     tri: TriMesh2D,
     inner_contour: np.ndarray,
