@@ -1,0 +1,96 @@
+"""Square-duct Stokes with Taylor-Hood P2-P1 (the reference's element pair).
+
+Reference StokesFlow/DuctStokesFlow.py: TH mixed space (:147-154), uniform
+inlet u=(1,0,0) (:171-181), no-slip walls, outlet p=0, direct MUMPS solve
+with null-space ICNTL handling (:213-216 — moot here: the outlet pressure
+Dirichlet pins the pressure level), L1/Linf norm printouts (:233-241).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..assemble.assembly import assembler_for_mixed
+from ..fem.bc import DirichletBC, bc_mask, bc_vector, combine_bcs
+from ..fem.space import make_mixed_space
+from ..forms.stokes_th import make_stokes_th_kernel
+from ..mesh.structured import duct_mesh
+from ..solve.newton_host import linear_host_lu
+from ..utils.exact import square_duct_mean, square_duct_profile
+
+
+@dataclasses.dataclass
+class DuctTHResult:
+    mesh: object
+    space: object
+    u: np.ndarray            # (n_scalar_v, 3) at P2 dof points
+    p: np.ndarray            # (n_nodes,)
+    u_coords: np.ndarray     # P2 dof coordinates
+
+
+def solve_duct_th(n_cross: int = 6, n_axial: int = 12, length: float = 2.0,
+                  inlet: str = "uniform") -> DuctTHResult:
+    mesh = duct_mesh(n_cross, n_axial, length)
+    W = make_mixed_space(mesh, 2, 1)          # Taylor-Hood
+    asm = assembler_for_mixed(W)
+
+    wall = mesh.nodes_with_marker(4)
+    inlet_nodes = mesh.nodes_with_marker(1)
+    outlet_nodes = mesh.nodes_with_marker(3)
+
+    # facet-supported velocity dofs include edge midpoints (P2)
+    wall_facets = mesh.facets_with_marker(4)
+    inlet_facets = mesh.facets_with_marker(1)
+    vd_wall = W.velocity_dofs_on_facets(wall_facets)
+    sd_inlet = W.V.scalar_dofs_on_nodes(
+        np.unique(inlet_facets.ravel()))
+    if inlet == "uniform":
+        vals = np.zeros((len(sd_inlet), 3))
+        vals[:, 0] = 1.0
+    else:
+        yz = W.V.dof_coords[sd_inlet][:, 1:3]
+        vals = np.zeros((len(sd_inlet), 3))
+        vals[:, 0] = square_duct_profile(yz[:, 0], yz[:, 1]) \
+            / square_duct_mean()
+    vd_inlet = np.stack(
+        [W.velocity_dof(sd_inlet, c) for c in range(3)], -1).ravel()
+
+    bc = combine_bcs([
+        DirichletBC(vd_wall, np.zeros(len(vd_wall))),
+        DirichletBC(vd_inlet, vals.ravel()),
+        DirichletBC(W.pressure_dof(outlet_nodes),
+                    np.zeros(len(outlet_nodes))),
+    ])
+    mask = jnp.asarray(bc_mask(W.ndofs, bc), asm.dtype)
+    g = jnp.asarray(bc_vector(W.ndofs, bc), asm.dtype)
+
+    kern = make_stokes_th_kernel("tetrahedron", nu=1.0)
+    x = linear_host_lu(asm, kern, mask, g)
+    u, p = W.split(x)
+    return DuctTHResult(mesh, W, np.asarray(u), np.asarray(p),
+                        W.V.dof_coords)
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    n = int(argv[0]) if argv else 6
+    r = solve_duct_th(n, 2 * n)
+    u_flat = r.u.reshape(-1)
+    print(f"L1 norm of velocity coefficient vector: "
+          f"{np.abs(u_flat).sum():.6e}")
+    print(f"L1 norm of pressure coefficient vector: "
+          f"{np.abs(r.p).sum():.6e}")
+    print(f"Linf norm of velocity coefficient vector: "
+          f"{np.abs(u_flat).max():.6e}")
+    print(f"Linf norm of pressure coefficient vector: "
+          f"{np.abs(r.p).max():.6e}")
+    return r
+
+
+if __name__ == "__main__":
+    main()

@@ -70,12 +70,12 @@ def solve_spd_cg(
     r0 = residual_of(kernel, ndofs, arrays, zero)
     b = -r0
 
-    def A(x):
-        ax = residual_of(kernel, ndofs, arrays, x) - r0
-        return mask * ax + (1.0 - mask) * x
-
     def A_raw(x):
         return residual_of(kernel, ndofs, arrays, x) - r0
+
+    def A(x):
+        # symmetric projection: P A P + (I - P) — CG needs SPD
+        return mask * A_raw(mask * x) + (1.0 - mask) * x
 
     b_bc = mask * (b - A_raw(g)) + g
     # Jacobi diagonal via probing the residual with basis... too costly;

@@ -50,8 +50,19 @@ def linear_host_lu(
     b = -np.asarray(residual_of(kernel, asm.ndofs, asm.arrays, zero))
     A = pat.to_scipy(values).tocsr()
     rhs = b[free] - A[free][:, ~free] @ g_np[~free]
+    Aff = A[free][:, free].tolil()
+    # MUMPS ICNTL(24)=1 / ICNTL(25)=0 equivalent (DuctStokesFlow.py:213-216):
+    # null-pivot rows (pressure dofs whose velocity couplings are all
+    # constrained, e.g. inlet-rim vertices of the TH duct) get an identity
+    # row and a zero value.
+    rn = np.asarray(np.abs(A[free][:, free]).sum(axis=1)).ravel()
+    dead = rn < 1e-12 * max(rn.max(), 1.0)
+    if dead.any():
+        for i in np.nonzero(dead)[0]:
+            Aff[i, i] = 1.0
+        rhs = np.where(dead, 0.0, rhs)
     x = g_np.copy()
-    x[free] = splu(A[free][:, free].tocsc()).solve(rhs)
+    x[free] = splu(Aff.tocsc()).solve(rhs)
     return x
 
 
