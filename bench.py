@@ -28,17 +28,9 @@ import numpy as np
 
 
 def build_problem(lc: float):
-    import jax.numpy as jnp
-
-    from stabilized_navier_stokes_flow_fenicsx_tpu.assemble.assembly import (
-        assembler_for_mixed)
     from stabilized_navier_stokes_flow_fenicsx_tpu.config import DEFAULT
-    from stabilized_navier_stokes_flow_fenicsx_tpu.fem.bc import (
-        bc_mask, bc_vector)
-    from stabilized_navier_stokes_flow_fenicsx_tpu.fem.space import (
-        make_mixed_space)
     from stabilized_navier_stokes_flow_fenicsx_tpu.flow.channel import (
-        channel_bcs, generate_channel_mesh)
+        _setup_layered, generate_channel_mesh)
     from stabilized_navier_stokes_flow_fenicsx_tpu.flow.inlet import (
         solve_inlet_profiles)
     from stabilized_navier_stokes_flow_fenicsx_tpu.utils.testimg import (
@@ -48,36 +40,29 @@ def build_problem(lc: float):
     if not os.path.exists(img):
         make_annulus_image(img, "circle")
     inlet1, inlet2 = solve_inlet_profiles(img, 0.5, DEFAULT)
-    mesh, _, _ = generate_channel_mesh(img, lc, DEFAULT)
-    W = make_mixed_space(mesh, 1, 1)
-    asm = assembler_for_mixed(W)
-    bc = channel_bcs(mesh, W, inlet1, inlet2)
-    mask = jnp.asarray(bc_mask(W.ndofs, bc), asm.dtype)
-    g = jnp.asarray(bc_vector(W.ndofs, bc), asm.dtype)
-    return mesh, W, asm, mask, g
+    mesh, _, _ = generate_channel_mesh(img, lc, DEFAULT, layered=True)
+    W, lp, mask, g = _setup_layered(mesh, inlet1, inlet2)
+    return mesh, W, lp, mask, g
 
 
 def run_bench(lc: float, newton_its: int = 5):
     import jax
-    import jax.numpy as jnp
 
     from stabilized_navier_stokes_flow_fenicsx_tpu.forms.navier_stokes import (
         make_ns_sups_kernel)
     from stabilized_navier_stokes_flow_fenicsx_tpu.solve.driver import (
-        solve_newton_bcsr)
+        solve_newton_layered)
 
     t0 = time.time()
-    mesh, W, asm, mask, g = build_problem(lc)
+    mesh, W, lp, mask, g = build_problem(lc)
     setup_s = time.time() - t0
-    pat = asm.pattern
     kern = make_ns_sups_kernel("tetrahedron", nu=1.0 / 10.0)
 
     def run():
-        out = solve_newton_bcsr(
-            kern, asm.ndofs, pat.nnzb, pat.bs, pat.n_rows,
-            asm.arrays, mask, g, g,           # start from BC lift: fixed work
-            rtol=0.0, atol=0.0, max_it=newton_its,
-            ksp_rtol=1e-8, ksp_restart=50, ksp_max_restarts=2)
+        out = solve_newton_layered(
+            kern, lp.n2d, lp.n_planes, lp.bs, lp.arrays,
+            mask, g, g, lp.E,                 # start from BC lift: fixed work
+            0.0, 0.0, newton_its, 1e-8, 50, 2)
         jax.block_until_ready(out.x)
         return out
 

@@ -39,7 +39,8 @@ from ..mesh.core import SimplexMesh
 from ..mesh.extrude import extrude_channel
 from ..mesh.image import get_contours, load_image, optimize_contour
 from ..mesh.tri2d import triangulate_cross_section
-from ..solve.driver import solve_linear_bcsr, solve_newton_bcsr
+from ..solve.driver import (solve_linear_bcsr, solve_linear_layered,
+    solve_newton_bcsr, solve_newton_layered)
 from .inlet import InletProfile, solve_inlet_profiles
 
 
@@ -58,11 +59,13 @@ class ChannelSolution:
 
 
 def generate_channel_mesh(
-    img_fname: str, lc: float, cfg: Config = DEFAULT
+    img_fname: str, lc: float, cfg: Config = DEFAULT, layered: bool = False,
 ) -> Tuple[SimplexMesh, np.ndarray, np.ndarray]:
     """Image -> marked 3D channel tet mesh (reference image2gmsh3D.main).
 
     Returns (mesh, inner_loop, outer_loop) in (y, z) coordinates.
+    layered=True keeps the plane-major node grid for the layered solver
+    (assemble/layered.py).
     """
     gray = load_image(img_fname)
     contours = get_contours(gray, cfg.contour)
@@ -79,7 +82,8 @@ def generate_channel_mesh(
     outer_loop = outer_c[:, [1, 0]]
     tri = triangulate_cross_section(
         inner_loop, outer_loop, lc, cfg.channel.half_width)
-    mesh = extrude_channel(tri, inner_loop, cfg.channel, lc)
+    mesh = extrude_channel(tri, inner_loop, cfg.channel, lc,
+                           compact=not layered)
     return mesh, inner_loop, outer_loop
 
 
@@ -141,6 +145,29 @@ def _setup(mesh, inlet1, inlet2):
     return W, asm, mask, g
 
 
+def _setup_layered(mesh, inlet1, inlet2, dtype=None):
+    """Layered-solver setup: BCs plus identity rows on the unused nodes
+    of the solid splitter interior."""
+    from ..assemble.layered import build_layered
+    from ..fem.bc import DirichletBC, combine_bcs
+
+    W = make_mixed_space(mesh, 1, 1)
+    n2d, n_planes, used = mesh.layered
+    lp = build_layered(W, n2d, n_planes, dtype)
+    bc = channel_bcs(mesh, W, inlet1, inlet2)
+    unused_nodes = np.nonzero(~used)[0].astype(np.int64)
+    bs = W.block_size
+    unused_dofs = (unused_nodes[:, None] * bs
+                   + np.arange(bs)[None, :]).ravel()
+    bc = combine_bcs(
+        [DirichletBC(unused_dofs, np.zeros(len(unused_dofs))), bc])
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype
+    mask = jnp.asarray(bc_mask(W.ndofs, bc), dtype)
+    g = jnp.asarray(bc_vector(W.ndofs, bc), dtype)
+    return W, lp, mask, g
+
+
 def solve_ns_flow(
     Re: float,
     img_fname: str,
@@ -149,11 +176,16 @@ def solve_ns_flow(
     cfg: Config = DEFAULT,
     coarse_Re: Optional[float] = None,
     coarse_lc: float = 0.1,
+    layered: bool = True,
 ) -> ChannelSolution:
     """Full continuation solve (reference solve_NS_flow, :468-549).
 
     coarse_Re defaults to the target Re (solve_NS_flow:522); the reference
     main() instead uses Re=1 for the coarse pass (:567).
+
+    layered=True (default) uses the plane-structured operator
+    (assemble/layered.py) — ~30x faster SpMV on TPU for extruded
+    channel meshes; layered=False keeps the generic block-CSR path.
     """
     scfg = cfg.solver
     timings = {}
@@ -164,59 +196,92 @@ def solve_ns_flow(
 
     # ---- coarse mesh: Stokes + NS --------------------------------------
     t0 = time.time()
-    mesh_c, inner_loop, _ = generate_channel_mesh(img_fname, coarse_lc, cfg)
+    mesh_c, inner_loop, _ = generate_channel_mesh(
+        img_fname, coarse_lc, cfg, layered=layered)
     timings["coarse_mesh"] = time.time() - t0
-    W_c, asm_c, mask_c, g_c = _setup(mesh_c, inlet1, inlet2)
-    pat = asm_c.pattern
 
-    t0 = time.time()
     stokes_k = make_stokes_kernel(
         "tetrahedron", nu=1.0, mu_T_coeff=cfg.stab.stokes_mu_T_coeff)
-    sres = solve_linear_bcsr(
-        stokes_k, asm_c.ndofs, pat.nnzb, pat.bs, pat.n_rows,
-        1e-8, scfg.ksp_restart, asm_c.arrays, mask_c, g_c)
-    timings["stokes"] = time.time() - t0
-
     cRe = Re if coarse_Re is None else coarse_Re
-    t0 = time.time()
     ns_c = make_ns_sups_kernel(
         "tetrahedron", nu=1.0 / cRe, C_I=cfg.stab.C_I,
         transposed_stab=cfg.stab.transposed_advection_in_stab)
-    nres_c = solve_newton_bcsr(
-        ns_c, asm_c.ndofs, pat.nnzb, pat.bs, pat.n_rows,
-        asm_c.arrays, mask_c, g_c, sres.x,
-        rtol=scfg.newton_rtol, atol=scfg.newton_atol,
-        max_it=scfg.newton_max_it, ksp_rtol=scfg.ksp_rtol,
-        ksp_restart=scfg.ksp_restart)
-    timings["coarse_ns"] = time.time() - t0
+    ns_f = make_ns_sups_kernel(
+        "tetrahedron", nu=1.0 / Re, C_I=cfg.stab.C_I,
+        transposed_stab=cfg.stab.transposed_advection_in_stab)
+
+    if layered:
+        W_c, lp_c, mask_c, g_c = _setup_layered(mesh_c, inlet1, inlet2)
+        t0 = time.time()
+        sres = solve_linear_layered(
+            stokes_k, lp_c.n2d, lp_c.n_planes, lp_c.bs, lp_c.arrays,
+            mask_c, g_c, lp_c.E, 1e-8, scfg.ksp_restart)
+        timings["stokes"] = time.time() - t0
+        t0 = time.time()
+        nres_c = solve_newton_layered(
+            ns_c, lp_c.n2d, lp_c.n_planes, lp_c.bs, lp_c.arrays,
+            mask_c, g_c, sres.x, lp_c.E,
+            scfg.newton_rtol, scfg.newton_atol, scfg.newton_max_it,
+            scfg.ksp_rtol, scfg.ksp_restart)
+        timings["coarse_ns"] = time.time() - t0
+    else:
+        W_c, asm_c, mask_c, g_c = _setup(mesh_c, inlet1, inlet2)
+        pat = asm_c.pattern
+        t0 = time.time()
+        sres = solve_linear_bcsr(
+            stokes_k, asm_c.ndofs, pat.nnzb, pat.bs, pat.n_rows,
+            1e-8, scfg.ksp_restart, asm_c.arrays, mask_c, g_c)
+        timings["stokes"] = time.time() - t0
+        t0 = time.time()
+        nres_c = solve_newton_bcsr(
+            ns_c, asm_c.ndofs, pat.nnzb, pat.bs, pat.n_rows,
+            asm_c.arrays, mask_c, g_c, sres.x,
+            rtol=scfg.newton_rtol, atol=scfg.newton_atol,
+            max_it=scfg.newton_max_it, ksp_rtol=scfg.ksp_rtol,
+            ksp_restart=scfg.ksp_restart)
+        timings["coarse_ns"] = time.time() - t0
     w_c = np.asarray(nres_c.x)
 
     # ---- fine mesh: NS from interpolated coarse ------------------------
     if abs(channel_mesh_size - coarse_lc) < 1e-12:
         mesh_f, W_f, w0_f = mesh_c, W_c, nres_c.x
-        asm_f, mask_f, g_f = asm_c, mask_c, g_c
+        setup_f = (lp_c, mask_c, g_c) if layered else \
+            (asm_c, mask_c, g_c)
     else:
         t0 = time.time()
         mesh_f, inner_loop, _ = generate_channel_mesh(
-            img_fname, channel_mesh_size, cfg)
+            img_fname, channel_mesh_size, cfg, layered=layered)
         timings["fine_mesh"] = time.time() - t0
-        W_f, asm_f, mask_f, g_f = _setup(mesh_f, inlet1, inlet2)
+        if layered:
+            W_f, lp_f, mask_f, g_f = _setup_layered(mesh_f, inlet1, inlet2)
+            setup_f = (lp_f, mask_f, g_f)
+        else:
+            W_f, asm_f, mask_f, g_f = _setup(mesh_f, inlet1, inlet2)
+            setup_f = (asm_f, mask_f, g_f)
         t0 = time.time()
         w0_f = jnp.asarray(interpolate_solution(mesh_c, W_c, w_c,
                                                 mesh_f, W_f))
+        # re-impose BC values exactly on the fine mesh
+        w0_f = setup_f[1] * w0_f + (1.0 - setup_f[1]) * setup_f[2]
         timings["interpolate"] = time.time() - t0
 
-    patf = asm_f.pattern
     t0 = time.time()
-    ns_f = make_ns_sups_kernel(
-        "tetrahedron", nu=1.0 / Re, C_I=cfg.stab.C_I,
-        transposed_stab=cfg.stab.transposed_advection_in_stab)
-    nres_f = solve_newton_bcsr(
-        ns_f, asm_f.ndofs, patf.nnzb, patf.bs, patf.n_rows,
-        asm_f.arrays, mask_f, g_f, w0_f,
-        rtol=scfg.newton_rtol, atol=scfg.newton_atol,
-        max_it=scfg.newton_max_it, ksp_rtol=scfg.ksp_rtol,
-        ksp_restart=scfg.ksp_restart)
+    if layered:
+        lp_f, mask_f, g_f = setup_f
+        nres_f = solve_newton_layered(
+            ns_f, lp_f.n2d, lp_f.n_planes, lp_f.bs, lp_f.arrays,
+            mask_f, g_f, w0_f, lp_f.E,
+            scfg.newton_rtol, scfg.newton_atol, scfg.newton_max_it,
+            scfg.ksp_rtol, scfg.ksp_restart)
+    else:
+        asm_f, mask_f, g_f = setup_f
+        patf = asm_f.pattern
+        nres_f = solve_newton_bcsr(
+            ns_f, asm_f.ndofs, patf.nnzb, patf.bs, patf.n_rows,
+            asm_f.arrays, mask_f, g_f, w0_f,
+            rtol=scfg.newton_rtol, atol=scfg.newton_atol,
+            max_it=scfg.newton_max_it, ksp_rtol=scfg.ksp_rtol,
+            ksp_restart=scfg.ksp_restart)
     timings["fine_ns"] = time.time() - t0
 
     w = np.asarray(nres_f.x)

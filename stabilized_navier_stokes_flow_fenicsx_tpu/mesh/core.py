@@ -123,6 +123,11 @@ def facets_of_cells(cell: str, cells: np.ndarray) -> Tuple[np.ndarray, np.ndarra
 
 def boundary_facets(mesh: SimplexMesh) -> np.ndarray:
     """Facets appearing in exactly one cell, (n_bf, fv) sorted vertex ids."""
+    from ..utils.native import boundary_facets_native
+
+    nat = boundary_facets_native(mesh.cells)
+    if nat is not None:
+        return nat
     fverts, _ = facets_of_cells(mesh.cell, mesh.cells)
     uniq, counts = np.unique(fverts, axis=0, return_counts=True)
     return uniq[counts == 1].astype(np.int32)

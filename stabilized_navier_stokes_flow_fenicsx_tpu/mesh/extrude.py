@@ -117,10 +117,16 @@ def extrude_channel(
     geom: ChannelGeometry = ChannelGeometry(),
     lc: Optional[float] = None,
     x_planes: Optional[np.ndarray] = None,
+    compact: bool = True,
 ) -> SimplexMesh:
     """Extrude the cross-section triangulation into the marked channel mesh.
 
     inner_contour: (m, 2) loop in (y, z) used to classify inlet facets.
+
+    compact=False keeps the full plane-major node grid (node = l*n2d + i,
+    including nodes interior to the solid splitter, which no cell touches)
+    and attaches ``mesh.layered = (n2d, n_planes, used_mask)`` — the
+    layout assemble/layered.py requires.
     """
     if x_planes is None:
         assert lc is not None
@@ -148,12 +154,18 @@ def extrude_channel(
     prisms = np.concatenate(all_prisms, axis=0)
     tets = split_prisms(prisms)
 
-    # drop unused nodes (interior of the solid splitter)
     used = np.unique(tets.ravel())
-    remap = -np.ones(points.shape[0], dtype=np.int64)
-    remap[used] = np.arange(len(used))
-    mesh = SimplexMesh(
-        "tetrahedron", points[used], remap[tets].astype(np.int32))
+    if compact:
+        # drop unused nodes (interior of the solid splitter)
+        remap = -np.ones(points.shape[0], dtype=np.int64)
+        remap[used] = np.arange(len(used))
+        mesh = SimplexMesh(
+            "tetrahedron", points[used], remap[tets].astype(np.int32))
+    else:
+        mesh = SimplexMesh("tetrahedron", points, tets.astype(np.int32))
+        used_mask = np.zeros(points.shape[0], dtype=bool)
+        used_mask[used] = True
+        mesh.layered = (np2, len(x_planes), used_mask)
     mesh.orient_positive()
 
     # facet markers from the actual boundary

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 
 from ..assemble.assembly import (
     AsmArrays, bcsr_matvec, matrix_values_of, residual_of)
+from ..assemble.layered import (
+    LayeredArrays, layered_diag_blocks, layered_matvec)
 from .krylov import KrylovResult, cg, fgmres
 from .newton import NewtonResult, newton_solve
 from .precond import block_jacobi
@@ -82,6 +84,91 @@ def solve_spd_cg(
     # use unpreconditioned CG (inlet Poisson systems are tiny and well
     # conditioned after the h^2 scaling).
     return cg(A, b_bc, rtol=rtol, max_it=ndofs * 4)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 7, 8, 9))
+def solve_linear_layered(
+    kernel: Callable,
+    n2d: int,
+    n_planes: int,
+    bs: int,
+    arrays: LayeredArrays,
+    mask: jnp.ndarray,
+    g: jnp.ndarray,
+    E: int,
+    rtol: float,
+    restart: int,
+) -> KrylovResult:
+    """Affine form on the layered operator: FGMRES + node-block Jacobi."""
+    ndofs = n2d * n_planes * bs
+    nnzb = E * 3 * n_planes
+    asm_arrays = AsmArrays(
+        cell_dofs=arrays.cell_dofs, cell_coords=arrays.cell_coords,
+        indices=arrays.cols, row_ids=arrays.row_ids,
+        ell_pos=arrays.ell_pos, diag_pos=arrays.diag_pos)
+    zero = jnp.zeros(ndofs, mask.dtype)
+    values = matrix_values_of(kernel, nnzb, bs, asm_arrays, zero) \
+        .reshape(E, 3, n_planes, bs, bs)
+    b = -residual_of(kernel, ndofs, asm_arrays, zero)
+    b_bc = mask * (b - layered_matvec(arrays, n2d, n_planes, values, g)) + g
+
+    def A(x):
+        y = layered_matvec(arrays, n2d, n_planes, values, mask * x)
+        return mask * y + (1.0 - mask) * x
+
+    M = block_jacobi(layered_diag_blocks(arrays, n2d, values), mask)
+    return fgmres(A, b_bc, M=M, rtol=rtol, restart=restart, max_restarts=80)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3) + tuple(range(8, 15)))
+def solve_newton_layered(
+    kernel: Callable,
+    n2d: int,
+    n_planes: int,
+    bs: int,
+    arrays: LayeredArrays,
+    mask: jnp.ndarray,
+    g: jnp.ndarray,
+    w0: jnp.ndarray,
+    E: int,
+    rtol: float = 1e-8,
+    atol: float = 1e-8,
+    max_it: int = 30,
+    ksp_rtol: float = 1e-8,
+    ksp_restart: int = 50,
+    ksp_max_restarts: int = 40,
+) -> NewtonResult:
+    """Newton on the layered (plane-structured) operator — the fast path
+    for extruded channel meshes (see assemble/layered.py)."""
+    ndofs = n2d * n_planes * bs
+    nnzb = E * 3 * n_planes
+    asm_arrays = AsmArrays(
+        cell_dofs=arrays.cell_dofs, cell_coords=arrays.cell_coords,
+        indices=arrays.cols, row_ids=arrays.row_ids,
+        ell_pos=arrays.ell_pos, diag_pos=arrays.diag_pos)
+
+    def residual(w):
+        r = residual_of(kernel, ndofs, asm_arrays, w)
+        return mask * r + (1.0 - mask) * (w - g)
+
+    def jac_values(w):
+        v = matrix_values_of(kernel, nnzb, bs, asm_arrays, w)
+        return v.reshape(E, 3, n_planes, bs, bs)
+
+    def make_op(values):
+        def op(x):
+            y = layered_matvec(arrays, n2d, n_planes, values, mask * x)
+            return mask * y + (1.0 - mask) * x
+        return op
+
+    def make_pc(values):
+        return block_jacobi(
+            layered_diag_blocks(arrays, n2d, values), mask)
+
+    return newton_solve(
+        residual, jac_values, make_op, make_pc, w0,
+        rtol=rtol, atol=atol, max_it=max_it, ksp_rtol=ksp_rtol,
+        ksp_restart=ksp_restart, ksp_max_restarts=ksp_max_restarts)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4) + tuple(range(9, 16)))

@@ -1,0 +1,82 @@
+"""Layered (plane-structured) operator vs generic block-CSR equivalence."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from stabilized_navier_stokes_flow_fenicsx_tpu.assemble.assembly import (
+    AsmArrays, assembler_for_mixed, matrix_values_of)
+from stabilized_navier_stokes_flow_fenicsx_tpu.assemble.layered import (
+    build_layered, layered_matvec)
+from stabilized_navier_stokes_flow_fenicsx_tpu.fem.space import (
+    make_mixed_space)
+from stabilized_navier_stokes_flow_fenicsx_tpu.forms.navier_stokes import (
+    make_ns_sups_kernel)
+from stabilized_navier_stokes_flow_fenicsx_tpu.mesh.extrude import (
+    extrude_channel)
+from stabilized_navier_stokes_flow_fenicsx_tpu.mesh.image import (
+    get_contours, load_image, optimize_contour)
+from stabilized_navier_stokes_flow_fenicsx_tpu.mesh.tri2d import (
+    triangulate_cross_section)
+from stabilized_navier_stokes_flow_fenicsx_tpu.utils.testimg import (
+    make_annulus_image)
+
+
+@pytest.fixture(scope="module")
+def channel(tmp_path_factory):
+    img = str(tmp_path_factory.mktemp("lay") / "c.png")
+    make_annulus_image(img, "circle", size=300)
+    g = load_image(img)
+    cs = get_contours(g)
+    co, _ = optimize_contour(cs[0], cutoff=0.15, mesh_lc_frac=0.01)
+    ci, _ = optimize_contour(cs[1], cutoff=0.15, mesh_lc_frac=0.01)
+    inner = ci[:, [1, 0]]
+    tri = triangulate_cross_section(inner, co[:, [1, 0]], lc=0.09)
+    mesh = extrude_channel(tri, inner, lc=0.09, compact=False)
+    return mesh
+
+
+def test_layered_matvec_matches_bcsr(channel):
+    mesh = channel
+    n2d, n_planes, used = mesh.layered
+    W = make_mixed_space(mesh, 1, 1)
+    lp = build_layered(W, n2d, n_planes)
+    asm = assembler_for_mixed(W)
+    kern = make_ns_sups_kernel("tetrahedron", nu=0.1)
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=W.ndofs) * 0.1)
+    x = jnp.asarray(rng.normal(size=W.ndofs))
+
+    vals_bcsr = asm.matrix_values(kern, w)
+    y_ref = np.asarray(asm.matvec(vals_bcsr, x))
+
+    asm_arrays = AsmArrays(
+        cell_dofs=lp.arrays.cell_dofs, cell_coords=lp.arrays.cell_coords,
+        indices=lp.arrays.cols, row_ids=lp.arrays.row_ids,
+        ell_pos=lp.arrays.ell_pos, diag_pos=lp.arrays.diag_pos)
+    vals_lay = matrix_values_of(
+        kern, lp.nnzb, lp.bs, asm_arrays, w).reshape(
+        lp.E, 3, n_planes, 4, 4)
+    y_lay = np.asarray(layered_matvec(lp.arrays, n2d, n_planes, vals_lay, x))
+    np.testing.assert_allclose(y_lay, y_ref, rtol=0, atol=1e-11)
+
+
+def test_layered_channel_solution_matches(channel, tmp_path):
+    """Full pipeline: layered and BCSR paths give the same fields."""
+    from stabilized_navier_stokes_flow_fenicsx_tpu.flow.channel import (
+        solve_ns_flow)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.utils.testimg import (
+        make_annulus_image)
+
+    img = str(tmp_path / "c.png")
+    make_annulus_image(img, "circle", size=300)
+    sol_l = solve_ns_flow(5, img, 0.5, channel_mesh_size=0.12,
+                          coarse_lc=0.12, layered=True)
+    sol_b = solve_ns_flow(5, img, 0.5, channel_mesh_size=0.12,
+                          coarse_lc=0.12, layered=False)
+    assert sol_l.converged and sol_b.converged
+    used = sol_l.mesh.layered[2]
+    err = np.abs(sol_l.u[used] - sol_b.u).max() \
+        / (np.abs(sol_b.u).max() + 1e-30)
+    assert err < 1e-9
