@@ -155,20 +155,34 @@ def residual_of(kernel: Callable, ndofs: int, arrays: AsmArrays,
         r_e.reshape(-1), arrays.cell_dofs.reshape(-1), num_segments=ndofs)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
-def matrix_values_of(kernel: Callable, nnzb: int, bs: int,
-                     arrays: AsmArrays, w: jnp.ndarray) -> jnp.ndarray:
-    """Block-CSR values of dr/dw at w: (nnzb, bs, bs)."""
-    nbl = arrays.ell_pos.shape[1]
+def _cell_jacobians(kernel: Callable, cell_coords, cell_dofs, w):
+    """(nc, ndl, ndl) element Jacobians via vmapped jacfwd."""
 
     def cell_jac(coords, w_e):
         return jax.jacfwd(lambda ww: kernel(coords, ww))(w_e)
 
-    J_e = jax.vmap(cell_jac)(arrays.cell_coords, w[arrays.cell_dofs])
-    nc = J_e.shape[0]
-    Jb = J_e.reshape(nc, nbl, bs, nbl, bs).transpose(0, 1, 3, 2, 4)
-    return jax.ops.segment_sum(
-        Jb.reshape(-1, bs, bs), arrays.ell_pos.reshape(-1), num_segments=nnzb)
+    return jax.vmap(cell_jac)(cell_coords, w[cell_dofs])
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def matrix_values_of(kernel: Callable, nnzb: int, bs: int,
+                     arrays: AsmArrays, w: jnp.ndarray) -> jnp.ndarray:
+    """Block-CSR values of dr/dw at w: (nnzb, bs, bs).
+
+    Assembled with bs*bs strided segment-sums instead of one scatter of a
+    (nc, nbl, bs, nbl, bs) transpose — the 5D copy picks up a 32x-padded
+    TPU layout and OOMs at ~10^6 cells.
+    """
+    J_e = _cell_jacobians(kernel, arrays.cell_coords, arrays.cell_dofs, w)
+    seg = arrays.ell_pos.reshape(-1)
+    outs = []
+    for ci in range(bs):
+        for cj in range(bs):
+            Jsub = J_e[:, ci::bs, cj::bs]
+            outs.append(jax.ops.segment_sum(
+                Jsub.reshape(-1), seg, num_segments=nnzb))
+    V = jnp.stack(outs, axis=-1)               # (nnzb, bs*bs)
+    return V.reshape(nnzb, bs, bs)
 
 
 def bcsr_matvec(arrays: AsmArrays, n_rows: int, values: jnp.ndarray,

@@ -127,22 +127,57 @@ def build_layered(
     return LayeredPattern(n2d, Lp, E, bs, pat, arrays)
 
 
+def matrix_values_layered(
+    kernel: Callable,
+    E: int,
+    n_planes: int,
+    bs: int,
+    arrays: LayeredArrays,
+    w: jnp.ndarray,
+) -> jnp.ndarray:
+    """Layered Jacobian values with a TPU-friendly layout.
+
+    Returns V with shape (bs, bs, E, 3, Lp): V[i, j, e, d, l] is the
+    (row-component i, col-component j) entry of the block for pair e,
+    layer offset d-1, row plane l.  Trailing axis = planes, so the HBM
+    tiling pads Lp -> 128 instead of padding a trailing 4 by 32x (the
+    naive (nnzb, bs, bs) layout OOMs at ~10^6 cells through a padded
+    remat copy).  Assembled as bs*bs strided segment-sums over the raw
+    (nc, ndl, ndl) element Jacobians — no big transposes.
+    """
+    from .assembly import _cell_jacobians
+
+    Lp = n_planes
+    nnz_layer = E * 3 * Lp
+    J_e = _cell_jacobians(kernel, arrays.cell_coords, arrays.cell_dofs, w)
+    nc = J_e.shape[0]
+    seg = arrays.ell_pos.reshape(-1)
+    outs = []
+    for ci in range(bs):
+        for cj in range(bs):
+            Jsub = J_e[:, ci::bs, cj::bs]          # (nc, nbl, nbl)
+            outs.append(jax.ops.segment_sum(
+                Jsub.reshape(-1), seg, num_segments=nnz_layer))
+    V = jnp.stack(outs, axis=0)                    # (bs*bs, nnz_layer)
+    return V.reshape(bs, bs, E, 3, Lp)
+
+
 def layered_matvec(
     arrays: LayeredArrays,
     n2d: int,
     n_planes: int,
-    values: jnp.ndarray,          # (E, 3, Lp, bs, bs)
+    values: jnp.ndarray,          # (bs, bs, E, 3, Lp)
     x: jnp.ndarray,               # (ndofs,)
 ) -> jnp.ndarray:
     """y = A x in the layered format."""
-    E, _, Lp, bs, _ = values.shape
+    bs, _, E, _, Lp = values.shape
     xg = x.reshape(Lp, n2d, bs)[:, arrays.cols, :]       # (Lp, E, bs)
     # x at l-1, l, l+1 (zero-padded at the ends)
     zero = jnp.zeros((1, E, bs), x.dtype)
     x_m = jnp.concatenate([zero, xg[:-1]], axis=0)       # x[l-1]
     x_p = jnp.concatenate([xg[1:], zero], axis=0)        # x[l+1]
     xs = jnp.stack([x_m, xg, x_p], axis=0)               # (3, Lp, E, bs)
-    contrib = jnp.einsum("edlij,dlej->eli", values, xs,
+    contrib = jnp.einsum("ijedl,dlej->eli", values, xs,
                          preferred_element_type=values.dtype)
     y2d = jax.ops.segment_sum(
         contrib, arrays.row_ids, num_segments=n2d,
@@ -153,8 +188,9 @@ def layered_matvec(
 def layered_diag_blocks(
     arrays: LayeredArrays,
     n2d: int,
-    values: jnp.ndarray,
+    values: jnp.ndarray,          # (bs, bs, E, 3, Lp)
 ) -> jnp.ndarray:
     """(Lp * n2d, bs, bs) node-diagonal blocks (delta = 0, self pairs)."""
-    d = values[arrays.diag_pos, 1]            # (n2d, Lp, bs, bs)
-    return d.transpose(1, 0, 2, 3).reshape(-1, *values.shape[-2:])
+    bs = values.shape[0]
+    d = values[:, :, arrays.diag_pos, 1, :]   # (bs, bs, n2d, Lp)
+    return d.transpose(3, 2, 0, 1).reshape(-1, bs, bs)

@@ -18,10 +18,25 @@ import jax.numpy as jnp
 from ..assemble.assembly import (
     AsmArrays, bcsr_matvec, matrix_values_of, residual_of)
 from ..assemble.layered import (
-    LayeredArrays, layered_diag_blocks, layered_matvec)
+    LayeredArrays, layered_diag_blocks, layered_matvec,
+    matrix_values_layered)
 from .krylov import KrylovResult, cg, fgmres
 from .newton import NewtonResult, newton_solve
-from .precond import block_jacobi
+from .precond import block_jacobi, plane_gs_layered
+
+
+def _layered_pc(pc, arrays, n2d, n_planes, mask):
+    """PC factory for the layered operator: values -> closure."""
+    if pc == "plane_gs":
+        def make(values):
+            return plane_gs_layered(
+                values, arrays.cols, arrays.row_ids, arrays.diag_pos,
+                mask, n2d, n_planes)
+    else:
+        def make(values):
+            return block_jacobi(
+                layered_diag_blocks(arrays, n2d, values), mask)
+    return make
 
 
 def _bc_op(arrays, n_rows, values, mask):
@@ -86,7 +101,7 @@ def solve_spd_cg(
     return cg(A, b_bc, rtol=rtol, max_it=ndofs * 4)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 7, 8, 9))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 7, 8, 9, 10))
 def solve_linear_layered(
     kernel: Callable,
     n2d: int,
@@ -98,17 +113,16 @@ def solve_linear_layered(
     E: int,
     rtol: float,
     restart: int,
+    pc: str = "plane_gs",
 ) -> KrylovResult:
     """Affine form on the layered operator: FGMRES + node-block Jacobi."""
     ndofs = n2d * n_planes * bs
-    nnzb = E * 3 * n_planes
     asm_arrays = AsmArrays(
         cell_dofs=arrays.cell_dofs, cell_coords=arrays.cell_coords,
         indices=arrays.cols, row_ids=arrays.row_ids,
         ell_pos=arrays.ell_pos, diag_pos=arrays.diag_pos)
     zero = jnp.zeros(ndofs, mask.dtype)
-    values = matrix_values_of(kernel, nnzb, bs, asm_arrays, zero) \
-        .reshape(E, 3, n_planes, bs, bs)
+    values = matrix_values_layered(kernel, E, n_planes, bs, arrays, zero)
     b = -residual_of(kernel, ndofs, asm_arrays, zero)
     b_bc = mask * (b - layered_matvec(arrays, n2d, n_planes, values, g)) + g
 
@@ -116,11 +130,11 @@ def solve_linear_layered(
         y = layered_matvec(arrays, n2d, n_planes, values, mask * x)
         return mask * y + (1.0 - mask) * x
 
-    M = block_jacobi(layered_diag_blocks(arrays, n2d, values), mask)
+    M = _layered_pc(pc, arrays, n2d, n_planes, mask)(values)
     return fgmres(A, b_bc, M=M, rtol=rtol, restart=restart, max_restarts=80)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3) + tuple(range(8, 15)))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3) + tuple(range(8, 16)))
 def solve_newton_layered(
     kernel: Callable,
     n2d: int,
@@ -137,11 +151,11 @@ def solve_newton_layered(
     ksp_rtol: float = 1e-8,
     ksp_restart: int = 50,
     ksp_max_restarts: int = 40,
+    pc: str = "plane_gs",
 ) -> NewtonResult:
     """Newton on the layered (plane-structured) operator — the fast path
     for extruded channel meshes (see assemble/layered.py)."""
     ndofs = n2d * n_planes * bs
-    nnzb = E * 3 * n_planes
     asm_arrays = AsmArrays(
         cell_dofs=arrays.cell_dofs, cell_coords=arrays.cell_coords,
         indices=arrays.cols, row_ids=arrays.row_ids,
@@ -152,8 +166,7 @@ def solve_newton_layered(
         return mask * r + (1.0 - mask) * (w - g)
 
     def jac_values(w):
-        v = matrix_values_of(kernel, nnzb, bs, asm_arrays, w)
-        return v.reshape(E, 3, n_planes, bs, bs)
+        return matrix_values_layered(kernel, E, n_planes, bs, arrays, w)
 
     def make_op(values):
         def op(x):
@@ -161,9 +174,7 @@ def solve_newton_layered(
             return mask * y + (1.0 - mask) * x
         return op
 
-    def make_pc(values):
-        return block_jacobi(
-            layered_diag_blocks(arrays, n2d, values), mask)
+    make_pc = _layered_pc(pc, arrays, n2d, n_planes, mask)
 
     return newton_solve(
         residual, jac_values, make_op, make_pc, w0,

@@ -6,9 +6,9 @@ import pytest
 import jax.numpy as jnp
 
 from stabilized_navier_stokes_flow_fenicsx_tpu.assemble.assembly import (
-    AsmArrays, assembler_for_mixed, matrix_values_of)
+    assembler_for_mixed)
 from stabilized_navier_stokes_flow_fenicsx_tpu.assemble.layered import (
-    build_layered, layered_matvec)
+    build_layered, layered_matvec, matrix_values_layered)
 from stabilized_navier_stokes_flow_fenicsx_tpu.fem.space import (
     make_mixed_space)
 from stabilized_navier_stokes_flow_fenicsx_tpu.forms.navier_stokes import (
@@ -51,13 +51,9 @@ def test_layered_matvec_matches_bcsr(channel):
     vals_bcsr = asm.matrix_values(kern, w)
     y_ref = np.asarray(asm.matvec(vals_bcsr, x))
 
-    asm_arrays = AsmArrays(
-        cell_dofs=lp.arrays.cell_dofs, cell_coords=lp.arrays.cell_coords,
-        indices=lp.arrays.cols, row_ids=lp.arrays.row_ids,
-        ell_pos=lp.arrays.ell_pos, diag_pos=lp.arrays.diag_pos)
-    vals_lay = matrix_values_of(
-        kern, lp.nnzb, lp.bs, asm_arrays, w).reshape(
-        lp.E, 3, n_planes, 4, 4)
+    vals_lay = matrix_values_layered(
+        kern, lp.E, n_planes, lp.bs, lp.arrays, w)
+    assert vals_lay.shape == (4, 4, lp.E, 3, n_planes)
     y_lay = np.asarray(layered_matvec(lp.arrays, n2d, n_planes, vals_lay, x))
     np.testing.assert_allclose(y_lay, y_ref, rtol=0, atol=1e-11)
 
