@@ -62,6 +62,32 @@ def cell_diameter(coords: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.max(jnp.sum(d * d, axis=-1)))
 
 
+# assembly chunk size: caps the jacfwd intermediates (a chunk's tangent
+# batch is (CH, nq, ndl, ndl)-scale; 64k cells ~= 0.3 GB) so 10^6-cell
+# Jacobian assembly streams through HBM instead of OOMing
+ASM_CHUNK = 65536
+
+
+def pad_cells_for_chunks(cell_dofs, cell_coords, ell_pos, ndofs, nnzb):
+    """Pad cell arrays to a multiple of ASM_CHUNK; padded cells scatter
+    into the trash segments (ndofs / nnzb) and use cell 0's coordinates."""
+    nc = cell_dofs.shape[0]
+    if nc <= ASM_CHUNK:
+        return cell_dofs, cell_coords, ell_pos
+    nc_pad = -(-nc // ASM_CHUNK) * ASM_CHUNK
+    pad = nc_pad - nc
+    if pad == 0:
+        return cell_dofs, cell_coords, ell_pos
+    cd = np.concatenate(
+        [cell_dofs, np.full((pad, cell_dofs.shape[1]), ndofs, np.int32)])
+    cc = np.concatenate(
+        [cell_coords,
+         np.broadcast_to(cell_coords[0], (pad,) + cell_coords.shape[1:])])
+    ep = np.concatenate(
+        [ell_pos, np.full((pad,) + ell_pos.shape[1:], nnzb, np.int32)])
+    return cd, cc, ep
+
+
 class AsmArrays(NamedTuple):
     """Mesh/dofmap data threaded through jit as arguments (a pytree)."""
 
@@ -148,41 +174,84 @@ def build_pattern(cell_blocks: np.ndarray, n_blocks: int, bs: int) -> BlockPatte
 @partial(jax.jit, static_argnums=(0, 1))
 def residual_of(kernel: Callable, ndofs: int, arrays: AsmArrays,
                 w: jnp.ndarray) -> jnp.ndarray:
-    """Global residual r(w) = scatter(sum_e kernel_e)."""
-    w_e = w[arrays.cell_dofs]
+    """Global residual r(w) = scatter(sum_e kernel_e).
+
+    One extra segment absorbs padded cells' scatter (pad_cells_for_chunks);
+    padded cells read w at index ndofs via the safe concat below.
+    """
+    w_ext = jnp.concatenate([w, jnp.zeros(1, w.dtype)])
+    w_e = w_ext[arrays.cell_dofs]
     r_e = jax.vmap(kernel)(arrays.cell_coords, w_e)
-    return jax.ops.segment_sum(
-        r_e.reshape(-1), arrays.cell_dofs.reshape(-1), num_segments=ndofs)
+    r = jax.ops.segment_sum(
+        r_e.reshape(-1), arrays.cell_dofs.reshape(-1),
+        num_segments=ndofs + 1)
+    return r[:ndofs]
 
 
 def _cell_jacobians(kernel: Callable, cell_coords, cell_dofs, w):
     """(nc, ndl, ndl) element Jacobians via vmapped jacfwd."""
+    w_ext = jnp.concatenate([w, jnp.zeros(1, w.dtype)])
 
     def cell_jac(coords, w_e):
         return jax.jacfwd(lambda ww: kernel(coords, ww))(w_e)
 
-    return jax.vmap(cell_jac)(cell_coords, w[cell_dofs])
+    return jax.vmap(cell_jac)(cell_coords, w_ext[cell_dofs])
+
+
+def assemble_jacobian_chunked(
+    kernel: Callable,
+    n_segments: int,       # true nnz-flavored segment count (trash at end)
+    bs: int,
+    arrays: AsmArrays,
+    w: jnp.ndarray,
+) -> jnp.ndarray:
+    """(bs*bs, n_segments) Jacobian values via chunked jacfwd assembly.
+
+    Cells are processed in ASM_CHUNK-sized scan steps so the jacfwd
+    tangent intermediates stay bounded; the bs^2 strided segment-sums
+    avoid any (.., nbl, bs, nbl, bs) transpose (32x TPU tile padding).
+    """
+    nc = arrays.cell_dofs.shape[0]
+    nbl = arrays.ell_pos.shape[1]
+
+    def chunk_values(cd, cc, ep):
+        J_e = _cell_jacobians(kernel, cc, cd, w)
+        seg = ep.reshape(-1)
+        outs = []
+        for ci in range(bs):
+            for cj in range(bs):
+                Jsub = J_e[:, ci::bs, cj::bs]
+                outs.append(jax.ops.segment_sum(
+                    Jsub.reshape(-1), seg, num_segments=n_segments + 1))
+        return jnp.stack(outs, axis=0)         # (bs*bs, n_segments+1)
+
+    if nc <= ASM_CHUNK:
+        V = chunk_values(arrays.cell_dofs, arrays.cell_coords,
+                         arrays.ell_pos)
+        return V[:, :n_segments]
+
+    n_chunks = nc // ASM_CHUNK
+    cd = arrays.cell_dofs.reshape(n_chunks, ASM_CHUNK, -1)
+    cc = arrays.cell_coords.reshape(
+        n_chunks, ASM_CHUNK, *arrays.cell_coords.shape[1:])
+    ep = arrays.ell_pos.reshape(n_chunks, ASM_CHUNK, nbl, nbl)
+
+    def body(acc, inp):
+        cdi, cci, epi = inp
+        return acc + chunk_values(cdi, cci, epi), None
+
+    init = jnp.zeros((bs * bs, n_segments + 1), w.dtype)
+    V, _ = jax.lax.scan(body, init, (cd, cc, ep))
+    return V[:, :n_segments]
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def matrix_values_of(kernel: Callable, nnzb: int, bs: int,
                      arrays: AsmArrays, w: jnp.ndarray) -> jnp.ndarray:
-    """Block-CSR values of dr/dw at w: (nnzb, bs, bs).
-
-    Assembled with bs*bs strided segment-sums instead of one scatter of a
-    (nc, nbl, bs, nbl, bs) transpose — the 5D copy picks up a 32x-padded
-    TPU layout and OOMs at ~10^6 cells.
-    """
-    J_e = _cell_jacobians(kernel, arrays.cell_coords, arrays.cell_dofs, w)
-    seg = arrays.ell_pos.reshape(-1)
-    outs = []
-    for ci in range(bs):
-        for cj in range(bs):
-            Jsub = J_e[:, ci::bs, cj::bs]
-            outs.append(jax.ops.segment_sum(
-                Jsub.reshape(-1), seg, num_segments=nnzb))
-    V = jnp.stack(outs, axis=-1)               # (nnzb, bs*bs)
-    return V.reshape(nnzb, bs, bs)
+    """Block-CSR values of dr/dw at w: (nnzb, bs, bs)."""
+    V = assemble_jacobian_chunked(kernel, nnzb, bs, arrays, w)
+    # (bs*bs, nnzb) -> (nnzb, bs, bs)
+    return V.T.reshape(nnzb, bs, bs)
 
 
 def bcsr_matvec(arrays: AsmArrays, n_rows: int, values: jnp.ndarray,
@@ -215,12 +284,15 @@ class Assembler:
         self.ndofs = int(ndofs)
         self.dtype = dtype
         self.pattern = pattern
+        cd_p, cc_p, ep_p = pad_cells_for_chunks(
+            np.asarray(cell_dofs, np.int32), np.asarray(cell_coords),
+            pattern.ell_pos, self.ndofs, pattern.nnzb)
         self.arrays = AsmArrays(
-            cell_dofs=jnp.asarray(cell_dofs, jnp.int32),
-            cell_coords=jnp.asarray(cell_coords, dtype),
+            cell_dofs=jnp.asarray(cd_p, jnp.int32),
+            cell_coords=jnp.asarray(cc_p, dtype),
             indices=jnp.asarray(pattern.indices, jnp.int32),
             row_ids=jnp.asarray(pattern.row_ids, jnp.int32),
-            ell_pos=jnp.asarray(pattern.ell_pos, jnp.int32),
+            ell_pos=jnp.asarray(ep_p, jnp.int32),
             diag_pos=jnp.asarray(pattern.diag_pos, jnp.int32),
         )
 

@@ -109,11 +109,17 @@ def build_layered(
     diag_pos = np.searchsorted(uniq, diag_keys)
     assert (uniq[diag_pos] == diag_keys).all(), "missing diagonal pairs"
 
+    from .assembly import pad_cells_for_chunks
+
     coords = mesh.points[mesh.cells]
+    nnz_layer = E * 3 * Lp
+    cd_p, cc_p, ep_p = pad_cells_for_chunks(
+        np.asarray(space.cell_dofs_w, np.int32), coords, ell_pos,
+        space.ndofs, nnz_layer)
     arrays = LayeredArrays(
-        cell_dofs=jnp.asarray(space.cell_dofs_w, jnp.int32),
-        cell_coords=jnp.asarray(coords, dtype),
-        ell_pos=jnp.asarray(ell_pos),
+        cell_dofs=jnp.asarray(cd_p, jnp.int32),
+        cell_coords=jnp.asarray(cc_p, dtype),
+        ell_pos=jnp.asarray(ep_p),
         cols=jnp.asarray(cols2d),
         row_ids=jnp.asarray(rows2d),
         diag_pos=jnp.asarray(diag_pos.astype(np.int32)),
@@ -145,20 +151,15 @@ def matrix_values_layered(
     remat copy).  Assembled as bs*bs strided segment-sums over the raw
     (nc, ndl, ndl) element Jacobians — no big transposes.
     """
-    from .assembly import _cell_jacobians
+    from .assembly import AsmArrays, assemble_jacobian_chunked
 
     Lp = n_planes
     nnz_layer = E * 3 * Lp
-    J_e = _cell_jacobians(kernel, arrays.cell_coords, arrays.cell_dofs, w)
-    nc = J_e.shape[0]
-    seg = arrays.ell_pos.reshape(-1)
-    outs = []
-    for ci in range(bs):
-        for cj in range(bs):
-            Jsub = J_e[:, ci::bs, cj::bs]          # (nc, nbl, nbl)
-            outs.append(jax.ops.segment_sum(
-                Jsub.reshape(-1), seg, num_segments=nnz_layer))
-    V = jnp.stack(outs, axis=0)                    # (bs*bs, nnz_layer)
+    asm_arrays = AsmArrays(
+        cell_dofs=arrays.cell_dofs, cell_coords=arrays.cell_coords,
+        indices=arrays.cols, row_ids=arrays.row_ids,
+        ell_pos=arrays.ell_pos, diag_pos=arrays.diag_pos)
+    V = assemble_jacobian_chunked(kernel, nnz_layer, bs, asm_arrays, w)
     return V.reshape(bs, bs, E, 3, Lp)
 
 

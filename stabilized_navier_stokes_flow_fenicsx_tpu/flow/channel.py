@@ -290,3 +290,19 @@ def solve_ns_flow(
         mesh_f, W_f, w, np.asarray(u), np.asarray(p), Re,
         int(nres_f.iters), float(nres_f.resnorm), bool(nres_f.converged),
         timings)
+
+
+def solve_ns_flow_single_mesh(
+    Re: float,
+    img_fname: str,
+    flowrate_ratio: float,
+    channel_mesh_size: float = 0.1,
+    cfg: Config = DEFAULT,
+    layered: bool = True,
+) -> ChannelSolution:
+    """Single-mesh variant without coarse->fine continuation — the
+    reference's OldNavierStokesChannelFlow.py pipeline (SURVEY.md 2.1:
+    'Single-mesh variant of the flagship ... kept for reference')."""
+    return solve_ns_flow(
+        Re, img_fname, flowrate_ratio, channel_mesh_size, cfg,
+        coarse_Re=Re, coarse_lc=channel_mesh_size, layered=layered)

@@ -109,7 +109,8 @@ def make_sharded_problem(
 
 
 def _local_residual(kernel, ndofs, cell_dofs, cell_coords, w, axis):
-    w_e = w[cell_dofs]
+    w_ext = jnp.concatenate([w, jnp.zeros(1, w.dtype)])
+    w_e = w_ext[cell_dofs]
     r_e = jax.vmap(kernel)(cell_coords, w_e)
     r = jax.ops.segment_sum(
         r_e.reshape(-1), cell_dofs.reshape(-1), num_segments=ndofs + 1)
@@ -118,20 +119,26 @@ def _local_residual(kernel, ndofs, cell_dofs, cell_coords, w, axis):
 
 def _local_jac_values(kernel, nnzb_true, nnzb_pad, bs, nbl, cell_dofs,
                       cell_coords, w, ell_pos, axis):
-    """Replicated, psum'd block values padded to nnzb_pad (zeros beyond)."""
+    """Replicated, psum'd block values padded to nnzb_pad (zeros beyond).
+
+    Assembled with bs^2 strided segment-sums (no 5D transpose — it takes
+    a 32x-padded TPU tile layout at scale).
+    """
+    w_ext = jnp.concatenate([w, jnp.zeros(1, w.dtype)])
 
     def cell_jac(coords, w_e):
         return jax.jacfwd(lambda ww: kernel(coords, ww))(w_e)
 
-    J_e = jax.vmap(cell_jac)(cell_coords, w[cell_dofs])
-    nc = J_e.shape[0]
-    Jb = J_e.reshape(nc, nbl, bs, nbl, bs).transpose(0, 1, 3, 2, 4)
-    # segment nnzb absorbs the padded cells' scatter; segments beyond the
-    # true nnzb are zero, so after clearing the absorber the [0, nnzb_pad)
-    # range is real values followed by zero padding.
-    v = jax.ops.segment_sum(
-        Jb.reshape(-1, bs, bs), ell_pos.reshape(-1),
-        num_segments=nnzb_pad + 1)
+    J_e = jax.vmap(cell_jac)(cell_coords, w_ext[cell_dofs])
+    seg = ell_pos.reshape(-1)
+    outs = []
+    for ci in range(bs):
+        for cj in range(bs):
+            outs.append(jax.ops.segment_sum(
+                J_e[:, ci::bs, cj::bs].reshape(-1), seg,
+                num_segments=nnzb_pad + 1))
+    v = jnp.stack(outs, axis=-1).reshape(nnzb_pad + 1, bs, bs)
+    # segment nnzb_true absorbs the padded cells' scatter; clear it
     v = v.at[nnzb_true].set(0.0)   # OOB scatter drops when true == pad
     return jax.lax.psum(v[:nnzb_pad], axis)
 
