@@ -101,8 +101,9 @@ def build_layered(
     E = len(uniq)
     rows2d = (uniq // n2d).astype(np.int32)
     cols2d = (uniq % n2d).astype(np.int32)
-    # (pair e, delta d, row plane l) -> segment id
-    seg = (inv * 3 + (delta + 1)) * Lp + la
+    # (delta d, pair e, row plane l) -> segment id; delta-major so the
+    # value tensor lands directly in the (bs, bs, 3, E, Lp) layout
+    seg = ((delta + 1) * E + inv) * Lp + la
     ell_pos = seg.reshape(cells.shape[0], nbl, nbl).astype(np.int32)
 
     diag_keys = np.arange(n2d, dtype=np.int64) * (n2d + 1)
@@ -143,9 +144,9 @@ def matrix_values_layered(
 ) -> jnp.ndarray:
     """Layered Jacobian values with a TPU-friendly layout.
 
-    Returns V with shape (bs, bs, E, 3, Lp): V[i, j, e, d, l] is the
-    (row-component i, col-component j) entry of the block for pair e,
-    layer offset d-1, row plane l.  Trailing axis = planes, so the HBM
+    Returns V with shape (bs, bs, 3, E, Lp): V[i, j, d, e, l] is the
+    (row-component i, col-component j) entry of the block for layer
+    offset d-1, pair e, row plane l.  Trailing axis = planes, so the HBM
     tiling pads Lp -> 128 instead of padding a trailing 4 by 32x (the
     naive (nnzb, bs, bs) layout OOMs at ~10^6 cells through a padded
     remat copy).  Assembled as bs*bs strided segment-sums over the raw
@@ -160,38 +161,45 @@ def matrix_values_layered(
         indices=arrays.cols, row_ids=arrays.row_ids,
         ell_pos=arrays.ell_pos, diag_pos=arrays.diag_pos)
     V = assemble_jacobian_chunked(kernel, nnz_layer, bs, asm_arrays, w)
-    return V.reshape(bs, bs, E, 3, Lp)
+    return V.reshape(bs, bs, 3, E, Lp)
 
 
 def layered_matvec(
     arrays: LayeredArrays,
     n2d: int,
     n_planes: int,
-    values: jnp.ndarray,          # (bs, bs, E, 3, Lp)
+    values: jnp.ndarray,          # (bs, bs, 3, E, Lp)
     x: jnp.ndarray,               # (ndofs,)
 ) -> jnp.ndarray:
-    """y = A x in the layered format."""
-    bs, _, E, _, Lp = values.shape
+    """y = A x in the layered format.
+
+    Written as a broadcast multiply + small-axis reduction rather than an
+    einsum: XLA lowers the (e, l)-batched contraction to dot_general with
+    layout-mismatched operands and materializes ~SpMV-sized transposes
+    per call (measured 246 ms vs ~2 ms at 345k dofs).  The elementwise
+    form streams the value tensor exactly once.
+    """
+    bs, _, _, E, Lp = values.shape
     xg = x.reshape(Lp, n2d, bs)[:, arrays.cols, :]       # (Lp, E, bs)
-    # x at l-1, l, l+1 (zero-padded at the ends)
-    zero = jnp.zeros((1, E, bs), x.dtype)
-    x_m = jnp.concatenate([zero, xg[:-1]], axis=0)       # x[l-1]
-    x_p = jnp.concatenate([xg[1:], zero], axis=0)        # x[l+1]
-    xs = jnp.stack([x_m, xg, x_p], axis=0)               # (3, Lp, E, bs)
-    contrib = jnp.einsum("ijedl,dlej->eli", values, xs,
-                         preferred_element_type=values.dtype)
+    xgT = xg.transpose(2, 1, 0)                          # (bs, E, Lp) small
+    zero = jnp.zeros((bs, E, 1), x.dtype)
+    x_m = jnp.concatenate([zero, xgT[..., :-1]], axis=-1)    # x[l-1] at l
+    x_p = jnp.concatenate([xgT[..., 1:], zero], axis=-1)     # x[l+1] at l
+    xs = jnp.stack([x_m, xgT, x_p], axis=1)              # (bs, 3, E, Lp)
+    # y[i, e, l] = sum_{j, d} V[i, j, d, e, l] * xs[j, d, e, l]
+    contrib = (values * xs[None]).sum(axis=(1, 2))       # (bs, E, Lp)
     y2d = jax.ops.segment_sum(
-        contrib, arrays.row_ids, num_segments=n2d,
-        indices_are_sorted=True)                          # (n2d, Lp, bs)
-    return y2d.transpose(1, 0, 2).reshape(-1)
+        contrib.transpose(1, 0, 2), arrays.row_ids, num_segments=n2d,
+        indices_are_sorted=True)                          # (n2d, bs, Lp)
+    return y2d.transpose(2, 0, 1).reshape(-1)
 
 
 def layered_diag_blocks(
     arrays: LayeredArrays,
     n2d: int,
-    values: jnp.ndarray,          # (bs, bs, E, 3, Lp)
+    values: jnp.ndarray,          # (bs, bs, 3, E, Lp)
 ) -> jnp.ndarray:
     """(Lp * n2d, bs, bs) node-diagonal blocks (delta = 0, self pairs)."""
     bs = values.shape[0]
-    d = values[:, :, arrays.diag_pos, 1, :]   # (bs, bs, n2d, Lp)
+    d = values[:, :, 1, arrays.diag_pos, :]   # (bs, bs, n2d, Lp)
     return d.transpose(3, 2, 0, 1).reshape(-1, bs, bs)

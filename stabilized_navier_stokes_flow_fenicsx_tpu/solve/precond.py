@@ -48,7 +48,7 @@ def block_jacobi(diag_blocks: jnp.ndarray, mask: jnp.ndarray) -> Callable:
 
 
 def line_jacobi_layered(
-    values: jnp.ndarray,          # (bs, bs, E, 3, Lp) layered matrix
+    values: jnp.ndarray,          # (bs, bs, 3, E, Lp) layered matrix
     diag_pos: jnp.ndarray,        # (n2d,) self-pair ids
     mask: jnp.ndarray,            # (Lp*n2d*bs,)
     n2d: int,
@@ -70,12 +70,12 @@ def line_jacobi_layered(
     Lp = n_planes
     mb = mask.reshape(Lp, n2d, bs)
     eye = jnp.eye(bs, dtype=values.dtype)
-    sp = values[:, :, diag_pos, :, :]        # (bs, bs, n2d, 3, Lp)
+    sp = values[:, :, :, diag_pos, :]        # (bs, bs, 3, n2d, Lp)
     # build A (diag), B (lower: couples l -> l-1), C (upper: l -> l+1),
     # with constrained rows/cols projected to identity (match bc_operator)
-    A = sp[:, :, :, 1, :].transpose(3, 2, 0, 1)   # (Lp, n2d, bs, bs)
-    B = sp[:, :, :, 0, :].transpose(3, 2, 0, 1)   # x[l-1] coupling
-    C = sp[:, :, :, 2, :].transpose(3, 2, 0, 1)   # x[l+1] coupling
+    A = sp[:, :, 1].transpose(3, 2, 0, 1)    # (Lp, n2d, bs, bs)
+    B = sp[:, :, 0].transpose(3, 2, 0, 1)    # x[l-1] coupling
+    C = sp[:, :, 2].transpose(3, 2, 0, 1)    # x[l+1] coupling
     Pl = mb[:, :, :, None] * mb[:, :, None, :]
     A = A * Pl + jnp.einsum("lnb,bc->lnbc", 1.0 - mb, eye)
     # off-diagonals: rows of constrained dofs and columns of constrained
@@ -130,7 +130,7 @@ def line_jacobi_layered(
 
 
 def plane_gs_layered(
-    values: jnp.ndarray,          # (bs, bs, E, 3, Lp)
+    values: jnp.ndarray,          # (bs, bs, 3, E, Lp)
     cols: jnp.ndarray,            # (E,)
     row_ids: jnp.ndarray,         # (E,) sorted
     diag_pos: jnp.ndarray,        # (n2d,)
@@ -152,25 +152,26 @@ def plane_gs_layered(
     """
     from ..utils.linalg import inv_small
 
-    bs, _, E, _, Lp = values.shape
+    bs, _, _, E, Lp = values.shape
     mb = mask.reshape(Lp, n2d, bs)
     eye = jnp.eye(bs, dtype=values.dtype)
     # per-plane projected diagonal blocks + inverses
-    diag = values[:, :, diag_pos, 1, :].transpose(3, 2, 0, 1)
+    diag = values[:, :, 1, diag_pos, :].transpose(3, 2, 0, 1)
     P = mb[:, :, :, None] * mb[:, :, None, :]
     diag = diag * P + jnp.einsum("lnb,bc->lnbc", 1.0 - mb, eye)
     Dinv = inv_small(diag)                   # (Lp, n2d, bs, bs)
 
-    V0 = values[:, :, :, 1, :]               # (bs, bs, E, Lp)
-    Vm = values[:, :, :, 0, :]               # x[l-1] coupling
-    Vp = values[:, :, :, 2, :]               # x[l+1] coupling
+    V0 = values[:, :, 1]                     # (bs, bs, E, Lp)
+    Vm = values[:, :, 0]                     # x[l-1] coupling
+    Vp = values[:, :, 2]                     # x[l+1] coupling
     rows_sorted = row_ids
 
     def spmv2d(Vl, x2d):
-        # Vl: (bs, bs, E); x2d: (n2d, bs)
-        contrib = jnp.einsum("ije,ej->ei", Vl, x2d[cols],
-                             preferred_element_type=x2d.dtype)
-        return jax.ops.segment_sum(contrib, rows_sorted, num_segments=n2d,
+        # Vl: (bs, bs, E); x2d: (n2d, bs) — elementwise form (no
+        # dot_general layout thrash, see layered_matvec)
+        xj = x2d[cols].T                     # (bs, E)
+        contrib = (Vl * xj[None, :, :]).sum(axis=1)      # (bs, E)
+        return jax.ops.segment_sum(contrib.T, rows_sorted, num_segments=n2d,
                                    indices_are_sorted=True)
 
     def relax_plane(Vl, Dinv_l, ml, rhs, x0):

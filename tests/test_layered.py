@@ -53,7 +53,7 @@ def test_layered_matvec_matches_bcsr(channel):
 
     vals_lay = matrix_values_layered(
         kern, lp.E, n_planes, lp.bs, lp.arrays, w)
-    assert vals_lay.shape == (4, 4, lp.E, 3, n_planes)
+    assert vals_lay.shape == (4, 4, 3, lp.E, n_planes)
     y_lay = np.asarray(layered_matvec(lp.arrays, n2d, n_planes, vals_lay, x))
     np.testing.assert_allclose(y_lay, y_ref, rtol=0, atol=1e-11)
 
