@@ -64,6 +64,33 @@ def cavity_bcs(mesh, W: MixedVelocityPressureSpace) -> DirichletBC:
     ])
 
 
+def solve_lid_driven_stokes(
+    n: int = 32,
+    Re: float = 100.0,
+    a0: float = 1.0 / 3.0,
+    ksp_rtol: float = 1e-10,
+):
+    """Stokes-only cavity (reference LidDrivenFlow/LidDrivenStokesFlow.py:
+    nu-scaled stabilization mu_T = a0 h^2/(4 nu), bcgs rtol/atol 1e-10).
+
+    Returns (mesh, space, u, p)."""
+    nu = 1.0 / Re
+    mesh = unit_square_tri(n, n)
+    W = make_mixed_space(mesh, 1, 1)
+    asm = assembler_for_mixed(W)
+    bc = cavity_bcs(mesh, W)
+    mask = jnp.asarray(bc_mask(W.ndofs, bc), asm.dtype)
+    g = jnp.asarray(bc_vector(W.ndofs, bc), asm.dtype)
+    pat = asm.pattern
+    stokes_k = make_stokes_kernel(
+        "triangle", nu=nu, mu_T_coeff=a0, nu_scaled_stab=True)
+    res = solve_linear_bcsr(
+        stokes_k, asm.ndofs, pat.nnzb, pat.bs, pat.n_rows,
+        ksp_rtol, 50, asm.arrays, mask, g)
+    u, p = W.split(np.asarray(res.x))
+    return mesh, W, np.asarray(u), np.asarray(p)
+
+
 def solve_lid_driven(
     n: int = 32,
     Re: float = 100.0,
