@@ -129,7 +129,7 @@ def _attempt(lc: float):
 
 
 def main():
-    lc = float(sys.argv[1]) if len(sys.argv) > 1 else 0.028
+    lc = float(sys.argv[1]) if len(sys.argv) > 1 else 0.035
     info = None
     for try_lc in (lc, lc, 0.05):          # retry once, then shrink
         try:

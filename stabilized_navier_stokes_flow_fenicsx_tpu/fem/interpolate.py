@@ -55,15 +55,22 @@ def build_locator(mesh: SimplexMesh, bins_per_axis: Optional[int] = None
     cells = mesh.cells
     nc = cells.shape[0]
     dim = mesh.dim
-    if bins_per_axis is None:
-        bins_per_axis = max(4, int(np.ceil((nc / (2 ** dim)) ** (1 / dim))))
     lo = pts.min(axis=0)
     hi = pts.max(axis=0)
     span = np.maximum(hi - lo, 1e-12)
-    shape = tuple(
-        max(1, min(bins_per_axis,
-                   int(np.ceil(bins_per_axis * span[d] / span.max()))))
-        for d in range(dim))
+    if bins_per_axis is None:
+        # bin edge ~ 1.5 mean cell sizes per axis: keeps max_per_bin small
+        # (the padded candidate tables scale query memory by max_per_bin)
+        vol = float(np.prod(span))
+        h_mean = (vol / max(nc, 1)) ** (1 / dim)
+        shape = tuple(
+            int(np.clip(np.ceil(span[d] / (1.5 * h_mean)), 1, 512))
+            for d in range(dim))
+    else:
+        shape = tuple(
+            max(1, min(bins_per_axis,
+                       int(np.ceil(bins_per_axis * span[d] / span.max()))))
+            for d in range(dim))
     h = span / np.array(shape)
     inv_h = 1.0 / h
 

@@ -33,6 +33,24 @@ from ..mesh.tri2d import points_in_polygon
 from .alpha_shape import alpha_shape_polygon, expand_bbox
 from .streamtrace import TraceConfigDevice, trace_particles
 
+# seeds per device dispatch: bounds the (chunk, K, dim^2) locator gather
+# intermediates and keeps single dispatches under the tunnel watchdog
+SEED_CHUNK = 8192
+
+
+def _trace_chunked(cfg, dloc, u_dev, seeds, reverse):
+    outs = []
+    for s in range(0, len(seeds), SEED_CHUNK):
+        chunk = seeds[s : s + SEED_CHUNK]
+        pad = 0
+        if len(chunk) < SEED_CHUNK and len(seeds) > SEED_CHUNK:
+            pad = SEED_CHUNK - len(chunk)     # reuse the compiled shape
+            chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, axis=0)])
+        end = np.asarray(trace_particles(
+            cfg, dloc, u_dev, jnp.asarray(chunk), reverse))
+        outs.append(end[: len(end) - pad])
+    return np.concatenate(outs, axis=0)
+
 
 @dataclasses.dataclass
 class StreamtraceResult:
@@ -82,8 +100,7 @@ def for_and_rev_streamtrace(
         rtol=tc.rtol, atol=tc.atol, max_steps=tc.max_steps)
     seeds_fwd = np.hstack(
         [np.zeros((len(seed_points), 1)), seed_points])
-    fwd_end = np.asarray(trace_particles(
-        fwd_cfg, dloc, u_dev, jnp.asarray(seeds_fwd), False))
+    fwd_end = _trace_chunked(fwd_cfg, dloc, u_dev, seeds_fwd, False)
     kept = fwd_end[fwd_end[:, 0] > tc.x_forward_keep]
 
     # expansion + reverse seed grid
@@ -100,8 +117,7 @@ def for_and_rev_streamtrace(
         t_max=tc.t_span, max_step=tc.max_step, speed_eps=tc.speed_eps,
         x_stop=tc.x_reverse_stop, stop_direction=-1,
         rtol=tc.rtol, atol=tc.atol, max_steps=tc.max_steps)
-    rev_end = np.asarray(trace_particles(
-        rev_cfg, dloc, u_dev, jnp.asarray(seeds_rev), True))
+    rev_end = _trace_chunked(rev_cfg, dloc, u_dev, seeds_rev, True)
     # reference: endpoints not back past x=0.5 are marked (10,10,10)
     rev_end = np.where(
         (rev_end[:, 0] < tc.x_forward_keep)[:, None], rev_end, 10.0)
