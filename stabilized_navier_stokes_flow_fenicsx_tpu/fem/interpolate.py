@@ -59,12 +59,12 @@ def build_locator(mesh: SimplexMesh, bins_per_axis: Optional[int] = None
     hi = pts.max(axis=0)
     span = np.maximum(hi - lo, 1e-12)
     if bins_per_axis is None:
-        # bin edge ~ 1.5 mean cell sizes per axis: keeps max_per_bin small
+        # bin edge ~ 1 mean cell size per axis: keeps max_per_bin small
         # (the padded candidate tables scale query memory by max_per_bin)
         vol = float(np.prod(span))
         h_mean = (vol / max(nc, 1)) ** (1 / dim)
         shape = tuple(
-            int(np.clip(np.ceil(span[d] / (1.5 * h_mean)), 1, 512))
+            int(np.clip(np.ceil(span[d] / h_mean), 1, 512))
             for d in range(dim))
     else:
         shape = tuple(

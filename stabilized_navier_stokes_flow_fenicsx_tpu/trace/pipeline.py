@@ -35,7 +35,7 @@ from .streamtrace import TraceConfigDevice, trace_particles
 
 # seeds per device dispatch: bounds the (chunk, K, dim^2) locator gather
 # intermediates and keeps single dispatches under the tunnel watchdog
-SEED_CHUNK = 8192
+SEED_CHUNK = 2048
 
 
 def _trace_chunked(cfg, dloc, u_dev, seeds, reverse):

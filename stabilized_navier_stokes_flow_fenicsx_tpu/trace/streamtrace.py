@@ -64,18 +64,40 @@ def _velocity(dloc: DeviceLocator, u_nodes: jnp.ndarray, x: jnp.ndarray,
     return jnp.where(cell >= 0, sign * v, 0.0)
 
 
-@partial(jax.jit, static_argnums=(0, 4))
-def trace_particles(
+class TraceState(NamedTuple):
+    """Per-seed integration state (resumable across dispatches)."""
+
+    x: jnp.ndarray        # (n, 3)
+    t: jnp.ndarray        # (n,)
+    dt: jnp.ndarray       # (n,)
+    done: jnp.ndarray     # (n,) bool
+    steps: jnp.ndarray    # (n,) int32
+
+
+def init_trace_state(seeds: jnp.ndarray, cfg: TraceConfigDevice,
+                     dtype) -> TraceState:
+    n = seeds.shape[0]
+    return TraceState(
+        x=seeds.astype(dtype),
+        t=jnp.zeros(n, dtype),
+        dt=jnp.full(n, cfg.max_step, dtype),
+        done=jnp.zeros(n, bool),
+        steps=jnp.zeros(n, jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def trace_segment(
     cfg: TraceConfigDevice,
     dloc: DeviceLocator,
     u_nodes: jnp.ndarray,
-    seeds: jnp.ndarray,            # (n, 3)
+    state: TraceState,
     reverse: bool = False,
-) -> jnp.ndarray:
-    """Integrate all seeds; returns endpoints (n, 3).
-
-    reverse=True negates the field (velfunc_reverese, :159-173).
-    """
+    seg_steps: int = 256,
+) -> TraceState:
+    """Advance all seeds by at most seg_steps RK45 steps (one bounded
+    device dispatch — a full 4096-step batched integration in a single
+    program can outlive the device watchdog)."""
     sign = -1.0 if reverse else 1.0
     dtype = u_nodes.dtype
     A = jnp.asarray(_A, dtype)
@@ -86,14 +108,13 @@ def trace_particles(
         return _velocity(dloc, u_nodes, x, sign)
 
     def rk_step(x, dt):
-        """One DP45 step: returns (x5, err_norm_scaled, k1_speed)."""
         ks = []
         for i in range(7):
             xi = x
             for j in range(i):
                 xi = xi + dt * A[i, j] * ks[j]
             ks.append(f(xi))
-        K = jnp.stack(ks)                       # (7, 3)
+        K = jnp.stack(ks)
         x5 = x + dt * (B5 @ K)
         x4 = x + dt * (B4 @ K)
         scale = cfg.atol + cfg.rtol * jnp.maximum(jnp.abs(x), jnp.abs(x5))
@@ -103,47 +124,59 @@ def trace_particles(
     plane = cfg.x_stop
     sdir = float(cfg.stop_direction)
 
-    def event_hit(x_old, x_new):
-        # plane crossing in the configured direction
-        g_old = (x_old[0] - plane) * sdir
-        g_new = (x_new[0] - plane) * sdir
-        return (g_old < 0) & (g_new >= 0)
-
-    def one_seed(seed):
+    def one_seed(st_x, st_t, st_dt, st_done, st_steps):
         def cond(s):
-            x, t, dt, done, steps = s
-            return (~done) & (steps < cfg.max_steps)
+            x, t, dt, done, steps, k = s
+            return (~done) & (steps < cfg.max_steps) & (k < seg_steps)
 
         def body(s):
-            x, t, dt, done, steps = s
+            x, t, dt, done, steps, k = s
             dt_eff = jnp.minimum(dt, cfg.t_max - t)
             x_new, err, v0 = rk_step(x, dt_eff)
             accept = err <= 1.0
-            # speed event: terminal when speed drops below eps (dir -1)
             speed = jnp.linalg.norm(v0)
             speed_stop = speed < cfg.speed_eps
-            hit = event_hit(x, x_new) & accept
-            # refine the crossing point by linear interpolation in x
             g0 = (x[0] - plane) * sdir
             g1 = (x_new[0] - plane) * sdir
+            hit = (g0 < 0) & (g1 >= 0) & accept
             frac = jnp.where(hit, jnp.clip(-g0 / jnp.maximum(g1 - g0, 1e-300),
                                            0.0, 1.0), 1.0)
             x_hit, _, _ = rk_step(x, dt_eff * frac)
             x_acc = jnp.where(hit, x_hit, x_new)
-
             t_new = jnp.where(accept, t + dt_eff * jnp.where(hit, frac, 1.0), t)
             x_out = jnp.where(accept, x_acc, x)
-            # PI-less step controller (scipy-like safety factors)
             fac = jnp.clip(0.9 * err ** (-0.2), 0.2, 5.0)
             dt_new = jnp.clip(dt * fac, 1e-6, cfg.max_step)
             finished = speed_stop | hit | (t_new >= cfg.t_max - 1e-12)
-            return (x_out, t_new, dt_new, done | (accept & finished)
-                    | speed_stop, steps + 1)
+            return (x_out, t_new, dt_new,
+                    done | (accept & finished) | speed_stop,
+                    steps + 1, k + 1)
 
-        x0 = seed.astype(dtype)
-        state = (x0, jnp.zeros((), dtype), jnp.asarray(cfg.max_step, dtype),
-                 jnp.array(False), jnp.array(0, jnp.int32))
-        x, t, dt, done, steps = jax.lax.while_loop(cond, body, state)
-        return x
+        s = (st_x, st_t, st_dt, st_done, st_steps, jnp.array(0, jnp.int32))
+        x, t, dt, done, steps, _ = jax.lax.while_loop(cond, body, s)
+        return x, t, dt, done, steps
 
-    return jax.vmap(one_seed)(seeds.astype(dtype))
+    x, t, dt, done, steps = jax.vmap(one_seed)(
+        state.x, state.t, state.dt, state.done, state.steps)
+    return TraceState(x, t, dt, done, steps)
+
+
+def trace_particles(
+    cfg: TraceConfigDevice,
+    dloc: DeviceLocator,
+    u_nodes: jnp.ndarray,
+    seeds: jnp.ndarray,            # (n, 3)
+    reverse: bool = False,
+) -> jnp.ndarray:
+    """Integrate all seeds; returns endpoints (n, 3).
+
+    reverse=True negates the field (velfunc_reverese, :159-173).
+    Dispatches bounded 256-step segments until every seed terminates.
+    """
+    state = init_trace_state(seeds, cfg, u_nodes.dtype)
+    max_dispatch = -(-cfg.max_steps // 256)
+    for _ in range(max_dispatch):
+        state = trace_segment(cfg, dloc, u_nodes, state, reverse, 256)
+        if bool(state.done.all()):
+            break
+    return state.x
