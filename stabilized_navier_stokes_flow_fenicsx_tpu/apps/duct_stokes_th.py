@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import dataclasses
 import sys
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

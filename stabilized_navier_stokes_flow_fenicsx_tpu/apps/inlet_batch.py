@@ -13,7 +13,6 @@ import sys
 import traceback
 
 import jax
-import numpy as np
 
 from ..config import DEFAULT
 from ..flow.inlet import solve_inlet_profiles

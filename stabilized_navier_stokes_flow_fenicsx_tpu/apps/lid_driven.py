@@ -14,7 +14,7 @@ wins at the corners, matching dolfinx set_bc ordering); p=0 pinned at the
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

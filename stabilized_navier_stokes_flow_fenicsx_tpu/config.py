@@ -12,7 +12,6 @@ dataclass tree so every app and test pulls the same numbers.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import numpy as np

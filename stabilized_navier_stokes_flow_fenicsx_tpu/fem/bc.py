@@ -17,7 +17,7 @@ A BC is just (dofs, values).  Application semantics:
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 

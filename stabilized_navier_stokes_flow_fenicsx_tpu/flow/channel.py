@@ -28,7 +28,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..assemble.assembly import Assembler, assembler_for_mixed
+from ..assemble.assembly import assembler_for_mixed
 from ..config import Config, DEFAULT
 from ..fem.bc import DirichletBC, bc_mask, bc_vector, combine_bcs
 from ..fem.interpolate import build_locator, interpolate_p1_np

@@ -10,7 +10,6 @@ from __future__ import annotations
 from typing import Callable
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..assemble.assembly import affine_geometry
 from ..fem.elements import element, quadrature

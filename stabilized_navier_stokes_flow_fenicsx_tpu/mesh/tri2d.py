@@ -19,7 +19,7 @@ Regions for the channel cross-section (annulus images):
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 from scipy.spatial import Delaunay, cKDTree

@@ -19,15 +19,14 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..assemble.assembly import Assembler, AsmArrays
-from ..solve.krylov import fgmres
+from ..assemble.assembly import Assembler
 from ..solve.newton import NewtonResult, newton_solve
 from ..solve.precond import block_jacobi
 

@@ -10,7 +10,7 @@ state.  All mesh data flows through as arguments (never closure constants).
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

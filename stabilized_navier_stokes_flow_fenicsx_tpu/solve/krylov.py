@@ -15,8 +15,6 @@ round-trips.  Operators are closures x -> A x (matrix-free or block-CSR).
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

@@ -13,14 +13,12 @@ line search (damping is what lets Re 40-70 converge from the Stokes guess).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from .krylov import fgmres
-from .precond import block_jacobi
 
 
 class NewtonResult(NamedTuple):

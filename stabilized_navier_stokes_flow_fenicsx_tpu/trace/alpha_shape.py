@@ -9,7 +9,7 @@ extracts from Multi/GeometryCollection results (:302-312).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 from scipy.spatial import Delaunay

@@ -20,7 +20,6 @@ traces are single vmapped device programs (trace/streamtrace.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -18,9 +18,8 @@ accepted step so endpoints land on the event plane.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
