@@ -69,7 +69,7 @@ def run_bench(lc: float, newton_its: int = 5):
             out = solve_newton_layered(
                 kern, lp.n2d, lp.n_planes, lp.bs, lp.arrays,
                 mask, g, w, lp.E,
-                0.0, 0.0, 1, 1e-3, 50, 4, "plane_gs")
+                0.0, 0.0, 1, 1e-3, 50, 4, "plane_gs_bf16")
             w = out.x
         jax.block_until_ready(out.x)
         return out

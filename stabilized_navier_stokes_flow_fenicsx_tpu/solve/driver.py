@@ -27,11 +27,13 @@ from .precond import block_jacobi, plane_gs_layered
 
 def _layered_pc(pc, arrays, n2d, n_planes, mask):
     """PC factory for the layered operator: values -> closure."""
-    if pc == "plane_gs":
+    if pc in ("plane_gs", "plane_gs_bf16"):
+        dt = jnp.bfloat16 if pc.endswith("bf16") else None
+
         def make(values):
             return plane_gs_layered(
                 values, arrays.cols, arrays.row_ids, arrays.diag_pos,
-                mask, n2d, n_planes)
+                mask, n2d, n_planes, pc_dtype=dt)
     else:
         def make(values):
             return block_jacobi(

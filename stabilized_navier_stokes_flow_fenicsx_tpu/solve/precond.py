@@ -139,6 +139,7 @@ def plane_gs_layered(
     n_planes: int,
     inner_sweeps: int = 2,
     symmetric: bool = True,
+    pc_dtype=None,
 ) -> Callable:
     """Plane-block Gauss-Seidel for the layered operator.
 
@@ -164,6 +165,13 @@ def plane_gs_layered(
     V0 = values[:, :, 1]                     # (bs, bs, E, Lp)
     Vm = values[:, :, 0]                     # x[l-1] coupling
     Vp = values[:, :, 2]                     # x[l+1] coupling
+    if pc_dtype is not None:
+        # the PC only steers FGMRES (right-preconditioned, flexible), so
+        # reduced precision here is free bandwidth: bf16 halves the value
+        # traffic of every sweep
+        V0, Vm, Vp = (v.astype(pc_dtype) for v in (V0, Vm, Vp))
+        Dinv = Dinv.astype(pc_dtype)
+        mb = mb.astype(pc_dtype)
     rows_sorted = row_ids
 
     def spmv2d(Vl, x2d):
@@ -183,6 +191,9 @@ def plane_gs_layered(
         return x
 
     def apply(r):
+        out_dtype = r.dtype
+        if pc_dtype is not None:
+            r = r.astype(pc_dtype)
         rb = r.reshape(Lp, n2d, bs)
 
         def down(x_prev, l):
@@ -196,7 +207,7 @@ def plane_gs_layered(
         x0 = jnp.zeros((n2d, bs), r.dtype)
         _, X = jax.lax.scan(down, x0, jnp.arange(Lp))
         if not symmetric:
-            return X.reshape(-1)
+            return X.reshape(-1).astype(out_dtype)
 
         def up(x_next, l):
             rl, ml, Dinv_l = rb[l], mb[l], Dinv[l]
@@ -206,7 +217,7 @@ def plane_gs_layered(
             return x, x
 
         _, X2 = jax.lax.scan(up, x0, jnp.arange(Lp), reverse=True)
-        return X2.reshape(-1)
+        return X2.reshape(-1).astype(out_dtype)
 
     return apply
 
