@@ -222,6 +222,125 @@ def plane_gs_layered(
     return apply
 
 
+def plane_gs_grouped(
+    values: jnp.ndarray,          # (bs, bs, 3, E, Lp)
+    cols: jnp.ndarray,
+    row_ids: jnp.ndarray,
+    diag_pos: jnp.ndarray,
+    mask: jnp.ndarray,
+    n2d: int,
+    n_planes: int,
+    group: int = 8,
+    inner_sweeps: int = 2,
+    symmetric: bool = True,
+    pc_dtype=None,
+) -> Callable:
+    """Plane-GS with G planes relaxed jointly per scan step.
+
+    The per-plane scan of plane_gs_layered costs Lp sequential steps of
+    tiny work — latency-bound on TPU.  Here the sweep moves in groups of
+    ``group`` planes: the scan has Lp/group steps, and each step relaxes
+    all G planes of the group simultaneously (Jacobi within the group,
+    Gauss-Seidel between groups, downstream then upstream).  Convergence
+    sits between plane-GS and plane-Jacobi; wall-clock per application
+    drops by ~group.
+    """
+    from ..utils.linalg import inv_small
+
+    bs, _, _, E, Lp = values.shape
+    G = group
+    Lp_pad = -(-Lp // G) * G
+    padp = Lp_pad - Lp
+
+    def padL(a):
+        # pad the trailing plane axis with zeros
+        if padp == 0:
+            return a
+        pw = [(0, 0)] * (a.ndim - 1) + [(0, padp)]
+        return jnp.pad(a, pw)
+
+    mb = padL(mask.reshape(Lp, n2d, bs).transpose(1, 2, 0))   # (n2d,bs,Lp_pad)
+    mb = mb.transpose(2, 0, 1)                                # (Lp_pad,n2d,bs)
+    eye = jnp.eye(bs, dtype=values.dtype)
+    diag = padL(values[:, :, 1, diag_pos, :]).transpose(3, 2, 0, 1)
+    P = mb[:, :, :, None] * mb[:, :, None, :]
+    diag = diag * P + jnp.einsum("lnb,bc->lnbc", 1.0 - mb, eye)
+    Dinv = inv_small(diag)                        # (Lp_pad, n2d, bs, bs)
+
+    # (ngroups, bs, bs, G, E): G on the sublane axis, E on the lane axis
+    def grouped(vpart):
+        v = padL(vpart)                           # (bs, bs, E, Lp_pad)
+        v = v.reshape(bs, bs, E, Lp_pad // G, G)
+        return v.transpose(3, 0, 1, 4, 2)         # (ng, bs, bs, G, E)
+
+    V0 = grouped(values[:, :, 1])
+    Vm = grouped(values[:, :, 0])
+    Vp = grouped(values[:, :, 2])
+    if pc_dtype is not None:
+        V0, Vm, Vp = (v.astype(pc_dtype) for v in (V0, Vm, Vp))
+        Dinv = Dinv.astype(pc_dtype)
+        mb = mb.astype(pc_dtype)
+    ng = Lp_pad // G
+    Dinv_g = Dinv.reshape(ng, G, n2d, bs, bs)
+    mb_g = mb.reshape(ng, G, n2d, bs)
+
+    def spmv_group(Vg, y):
+        """Vg: (bs, bs, G, E); y: (G, n2d, bs) -> (G, n2d, bs)."""
+        xj = y[:, cols, :].transpose(2, 0, 1)     # (bs, G, E)
+        contrib = (Vg * xj[None]).sum(axis=1)     # (bs, G, E)
+        out = jax.ops.segment_sum(
+            contrib.transpose(2, 1, 0), row_ids, num_segments=n2d,
+            indices_are_sorted=True)              # (n2d, G, bs)
+        return out.transpose(1, 0, 2)
+
+    def relax_group(V0g, Vmg, Vpg, Dg, mg, rhs, below, above, y):
+        """inner Jacobi sweeps on the G-plane block system."""
+        for _ in range(inner_sweeps + 1):
+            y_dn = jnp.concatenate([below[None], y[:-1]], axis=0)
+            y_up = jnp.concatenate([y[1:], above[None]], axis=0)
+            Ay = (spmv_group(V0g, y * mg) + spmv_group(Vmg, y_dn)
+                  + spmv_group(Vpg, y_up))
+            res = (rhs - Ay) * mg + (1.0 - mg) * (rhs - y)
+            y = y + jnp.einsum("gnij,gnj->gni", Dg, res,
+                               preferred_element_type=y.dtype)
+        return y
+
+    def apply(r):
+        out_dtype = r.dtype
+        if pc_dtype is not None:
+            r = r.astype(pc_dtype)
+        rb = jnp.pad(r.reshape(Lp, n2d, bs), ((0, padp), (0, 0), (0, 0)))
+        rb = rb.reshape(ng, G, n2d, bs)
+        zero_pl = jnp.zeros((n2d, bs), r.dtype)
+
+        def down(below, gidx):
+            rhs = rb[gidx]
+            y0 = jnp.einsum("gnij,gnj->gni", Dinv_g[gidx], rhs,
+                            preferred_element_type=r.dtype)
+            y = relax_group(V0[gidx], Vm[gidx], Vp[gidx], Dinv_g[gidx],
+                            mb_g[gidx], rhs, below, zero_pl, y0)
+            return y[-1], y
+
+        _, Xd = jax.lax.scan(down, zero_pl, jnp.arange(ng))
+        if not symmetric:
+            X = Xd.reshape(Lp_pad, n2d, bs)[:Lp]
+            return X.reshape(-1).astype(out_dtype)
+
+        def up(above, gidx):
+            rhs = rb[gidx]
+            below = jnp.where(gidx > 0, 1.0, 0.0) * Xd[
+                jnp.maximum(gidx - 1, 0), -1]
+            y = relax_group(V0[gidx], Vm[gidx], Vp[gidx], Dinv_g[gidx],
+                            mb_g[gidx], rhs, below, above, Xd[gidx])
+            return y[0], y
+
+        _, Xu = jax.lax.scan(up, zero_pl, jnp.arange(ng), reverse=True)
+        X = Xu.reshape(Lp_pad, n2d, bs)[:Lp]
+        return X.reshape(-1).astype(out_dtype)
+
+    return apply
+
+
 def scalar_jacobi(diag: jnp.ndarray, mask: jnp.ndarray) -> Callable:
     d = mask * diag + (1.0 - mask)
     inv = 1.0 / d
