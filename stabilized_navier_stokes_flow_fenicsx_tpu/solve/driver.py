@@ -28,22 +28,24 @@ from .precond import block_jacobi, plane_gs_grouped, plane_gs_layered
 def _layered_pc(pc, arrays, n2d, n_planes, mask):
     """PC factory for the layered operator: values -> closure.
 
-    'plane_gs' / 'plane_gs_bf16' -> grouped plane Gauss-Seidel (G=8):
-    8x fewer Krylov iterations than block-Jacobi on the channel system
-    and ~16x fewer scan steps than the per-plane sweep.
+    'plane_gs' / 'plane_gs_bf16' -> per-plane Gauss-Seidel sweeps (4x
+    fewer Krylov iterations than block-Jacobi at ~2 SpMV-equivalents per
+    apply).  'plane_gs_grouped' relaxes 8 planes jointly: half the
+    iterations again but ~3x the work per apply — wins only when scan
+    latency dominates (small cross-sections).
     """
     if pc in ("plane_gs", "plane_gs_bf16"):
         dt = jnp.bfloat16 if pc.endswith("bf16") else None
 
         def make(values):
-            return plane_gs_grouped(
-                values, arrays.cols, arrays.row_ids, arrays.diag_pos,
-                mask, n2d, n_planes, group=8, pc_dtype=dt)
-    elif pc == "plane_gs_seq":
-        def make(values):
             return plane_gs_layered(
                 values, arrays.cols, arrays.row_ids, arrays.diag_pos,
-                mask, n2d, n_planes)
+                mask, n2d, n_planes, pc_dtype=dt)
+    elif pc == "plane_gs_grouped":
+        def make(values):
+            return plane_gs_grouped(
+                values, arrays.cols, arrays.row_ids, arrays.diag_pos,
+                mask, n2d, n_planes, group=8)
     else:
         def make(values):
             return block_jacobi(
