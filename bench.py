@@ -129,9 +129,9 @@ def _attempt(lc: float):
 
 
 def main():
-    lc = float(sys.argv[1]) if len(sys.argv) > 1 else 0.030
+    lc = float(sys.argv[1]) if len(sys.argv) > 1 else 0.024
     info = None
-    for try_lc in (lc, lc, 0.04):          # retry once, then shrink
+    for try_lc in (lc, lc, 0.035):         # retry once, then shrink
         try:
             info = _attempt(try_lc)
             break

@@ -177,14 +177,32 @@ def residual_of(kernel: Callable, ndofs: int, arrays: AsmArrays,
     """Global residual r(w) = scatter(sum_e kernel_e).
 
     One extra segment absorbs padded cells' scatter (pad_cells_for_chunks);
-    padded cells read w at index ndofs via the safe concat below.
+    padded cells read w at index ndofs via the safe concat below.  Cells
+    stream through in ASM_CHUNK-sized scan steps: per-quadrature-point
+    kernel intermediates over the whole mesh pick up ~40x TPU tile padding
+    and OOM around 10^6 cells.
     """
     w_ext = jnp.concatenate([w, jnp.zeros(1, w.dtype)])
-    w_e = w_ext[arrays.cell_dofs]
-    r_e = jax.vmap(kernel)(arrays.cell_coords, w_e)
-    r = jax.ops.segment_sum(
-        r_e.reshape(-1), arrays.cell_dofs.reshape(-1),
-        num_segments=ndofs + 1)
+    nc = arrays.cell_dofs.shape[0]
+
+    def chunk_residual(cd, cc):
+        r_e = jax.vmap(kernel)(cc, w_ext[cd])
+        return jax.ops.segment_sum(
+            r_e.reshape(-1), cd.reshape(-1), num_segments=ndofs + 1)
+
+    if nc <= ASM_CHUNK:
+        return chunk_residual(arrays.cell_dofs, arrays.cell_coords)[:ndofs]
+
+    n_chunks = nc // ASM_CHUNK
+    cd = arrays.cell_dofs.reshape(n_chunks, ASM_CHUNK, -1)
+    cc = arrays.cell_coords.reshape(
+        n_chunks, ASM_CHUNK, *arrays.cell_coords.shape[1:])
+
+    def body(acc, inp):
+        cdi, cci = inp
+        return acc + chunk_residual(cdi, cci), None
+
+    r, _ = jax.lax.scan(body, jnp.zeros(ndofs + 1, w.dtype), (cd, cc))
     return r[:ndofs]
 
 
