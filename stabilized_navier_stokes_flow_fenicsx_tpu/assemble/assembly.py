@@ -207,8 +207,17 @@ def residual_of(kernel: Callable, ndofs: int, arrays: AsmArrays,
 
 
 def _cell_jacobians(kernel: Callable, cell_coords, cell_dofs, w):
-    """(nc, ndl, ndl) element Jacobians via vmapped jacfwd."""
+    """(nc, ndl, ndl) element Jacobians.
+
+    Uses the kernel's analytic tangent (``kernel.jac``, see
+    forms/navier_stokes.py) when present — batched MXU matmuls instead of
+    ndl forward tangents; falls back to vmapped jacfwd otherwise
+    (the autodiff oracle the tests compare against).
+    """
     w_ext = jnp.concatenate([w, jnp.zeros(1, w.dtype)])
+    jac = getattr(kernel, "jac", None)
+    if jac is not None:
+        return jax.vmap(jac)(cell_coords, w_ext[cell_dofs])
 
     def cell_jac(coords, w_e):
         return jax.jacfwd(lambda ww: kernel(coords, ww))(w_e)

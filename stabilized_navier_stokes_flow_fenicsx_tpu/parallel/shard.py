@@ -124,11 +124,13 @@ def _local_jac_values(kernel, nnzb_true, nnzb_pad, bs, nbl, cell_dofs,
     a 32x-padded TPU tile layout at scale).
     """
     w_ext = jnp.concatenate([w, jnp.zeros(1, w.dtype)])
+    jac = getattr(kernel, "jac", None)
 
     def cell_jac(coords, w_e):
         return jax.jacfwd(lambda ww: kernel(coords, ww))(w_e)
 
-    J_e = jax.vmap(cell_jac)(cell_coords, w_ext[cell_dofs])
+    J_e = jax.vmap(jac if jac is not None else cell_jac)(
+        cell_coords, w_ext[cell_dofs])
     seg = ell_pos.reshape(-1)
     outs = []
     for ci in range(bs):

@@ -129,6 +129,7 @@ def fgmres(
     def arnoldi_cycle(x):
         r = b - A(x)
         beta = jnp.linalg.norm(r)
+        steps = jnp.array(0, jnp.int32)
 
         V = jnp.zeros((m + 1, n), dtype)
         Z = jnp.zeros((m, n), dtype)
@@ -140,7 +141,7 @@ def fgmres(
         V = V.at[0].set(jnp.where(beta > 0, r / beta, r))
 
         def body(j, carry):
-            V, Z, H, cs, sn, g, done = carry
+            V, Z, H, cs, sn, g, done, steps = carry
             z = M(V[j])
             w = A(z)
 
@@ -176,7 +177,7 @@ def fgmres(
             sn = sn.at[j].set(s)
             g = g.at[j + 1].set(-s * g[j]).at[j].set(c * g[j])
             done = jnp.abs(g[j + 1]) <= tol
-            return (V, Z, H, cs, sn, g, done)
+            return (V, Z, H, cs, sn, g, done, steps + 1)
 
         # run all m steps (static); masking keeps the math exact and XLA
         # fuses it into one compiled loop.  Early-exit handled by `done`
@@ -185,8 +186,9 @@ def fgmres(
             return jax.lax.cond(
                 carry[6], lambda c: c, lambda c: body(j, c), carry)
 
-        carry = (V, Z, H, cs, sn, g, jnp.array(False))
-        V, Z, H, cs, sn, g, done = jax.lax.fori_loop(0, m, body_wrap, carry)
+        carry = (V, Z, H, cs, sn, g, jnp.array(False), steps)
+        V, Z, H, cs, sn, g, done, steps = jax.lax.fori_loop(
+            0, m, body_wrap, carry)
 
         # back-substitution on the triangularized H (masked for early exit:
         # columns never formed have H[j,j]=0 -> treat y_j = 0)
@@ -202,19 +204,22 @@ def fgmres(
 
         y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, dtype))
         x_new = x + Z.T @ y
-        rnorm = jnp.abs(g[m])  # estimate; exact recompute below
-        return x_new, rnorm
+        return x_new, steps
 
     def cond(s):
-        x, it, rn = s
-        return (rn > tol) & (it < max_restarts)
+        x, cycles, its, rn = s
+        return (rn > tol) & (cycles < max_restarts)
 
     def body(s):
-        x, it, rn = s
-        x, _ = arnoldi_cycle(x)
+        x, cycles, its, rn = s
+        x, steps = arnoldi_cycle(x)
+        # exact residual recompute per cycle (the Givens estimate drifts
+        # under a strong nonlinear/low-precision PC)
         rn = jnp.linalg.norm(b - A(x))
-        return (x, it + 1, rn)
+        return (x, cycles + 1, its + steps, rn)
 
     rn0 = jnp.linalg.norm(b - A(x0))
-    x, its, rn = jax.lax.while_loop(cond, body, (x0, jnp.array(0, jnp.int32), rn0))
-    return KrylovResult(x, its * m, rn, rn <= tol)
+    x, cycles, its, rn = jax.lax.while_loop(
+        cond, body, (x0, jnp.array(0, jnp.int32), jnp.array(0, jnp.int32),
+                     rn0))
+    return KrylovResult(x, its, rn, rn <= tol)

@@ -29,6 +29,11 @@ class NewtonResult(NamedTuple):
     # per-iteration history (length max_it, padded with -1):
     #   [|F| after step, line-search lambda, KSP iters, KSP final resnorm]
     history: jnp.ndarray
+    # True when the line search failed outright and the full step did not
+    # reduce ||F|| — SNES would report a line-search divergence here
+    # (reference SNES semantics, NavierStokesChannelFlow.py:281-283);
+    # `converged` is False in that case.
+    stalled: bool = False
 
 
 def newton_solve(
@@ -67,30 +72,37 @@ def newton_solve(
                      restart=ksp_restart, max_restarts=ksp_max_restarts)
         dx = sol.x
 
-        # backtracking line search on ||F||
-        def ls_body(k, carry):
-            lam, best_norm, accepted = carry
+        # backtracking line search on ||F|| — while_loop so the common
+        # full-step-accepted case costs ONE residual evaluation, not
+        # max_backtracks of them (residuals are ~0.3 s at bench scale)
+        def ls_cond(carry):
+            lam, best_norm, accepted, k = carry
+            return (~accepted) & (k < max_backtracks)
+
+        def ls_body(carry):
+            lam, best_norm, accepted, k = carry
             trial = jnp.linalg.norm(residual(x + lam * dx))
             good = trial < (1.0 - 1e-4 * lam) * fnorm
-            take = good & (~accepted)
-            best_norm = jnp.where(take, trial, best_norm)
-            lam_out = jnp.where(accepted | take, lam, lam * 0.5)
-            return (lam_out, best_norm, accepted | take)
+            best_norm = jnp.where(good, trial, best_norm)
+            lam_out = jnp.where(good, lam, lam * 0.5)
+            return (lam_out, best_norm, good, k + 1)
 
         lam0 = jnp.ones((), x.dtype)
-        lam, new_norm, accepted = jax.lax.fori_loop(
-            0, max_backtracks, ls_body, (lam0, fnorm, jnp.array(False)))
+        lam, new_norm, accepted, _ = jax.lax.while_loop(
+            ls_cond, ls_body,
+            (lam0, fnorm, jnp.array(False), jnp.array(0, jnp.int32)))
         # if nothing helped, take the full step anyway (SNES would diverge;
-        # we flag the stall instead)
+        # we flag the stall instead and report converged=False)
         lam = jnp.where(accepted, lam, 1.0)
         x_new = x + lam * dx
-        new_norm = jnp.where(accepted, new_norm,
-                             jnp.linalg.norm(residual(x_new)))
+        new_norm = jax.lax.cond(
+            accepted, lambda: new_norm,
+            lambda: jnp.linalg.norm(residual(x_new)))
         stalled = (~accepted) & (new_norm >= fnorm)
         hist = hist.at[it].set(jnp.stack([
             new_norm, lam, sol.iters.astype(x.dtype), sol.resnorm]))
         return (x_new, new_norm, it + 1, stalled, hist)
 
     state = (x0, n0, jnp.array(0, jnp.int32), jnp.array(False), hist0)
-    x, fnorm, it, _, hist = jax.lax.while_loop(cond, body, state)
-    return NewtonResult(x, it, fnorm, fnorm <= tol, hist)
+    x, fnorm, it, stalled, hist = jax.lax.while_loop(cond, body, state)
+    return NewtonResult(x, it, fnorm, fnorm <= tol, hist, stalled)

@@ -53,6 +53,29 @@ def test_jacfwd_matches_fd(make, cell, coords, ndl):
     np.testing.assert_allclose(J_ad, J_fd, atol=5e-6 * scale)
 
 
+@pytest.mark.parametrize("make,cell,coords,ndl", [
+    (lambda: make_ns_sups_kernel("tetrahedron", nu=0.05), "tet", TET, 16),
+    (lambda: make_ns_sups_kernel("tetrahedron", nu=0.05,
+                                 transposed_stab=False), "tet", TET, 16),
+    (lambda: make_ns_sups_kernel("triangle", nu=0.01), "tri", TRI, 9),
+    (lambda: make_ns_ugn_kernel("triangle", nu=0.01), "tri", TRI, 9),
+    (lambda: make_ns_ugn_kernel("tetrahedron", nu=0.05), "tet", TET, 16),
+])
+def test_analytic_jac_matches_jacfwd(make, cell, coords, ndl):
+    """The quadrature-point-linearized tangent (kernel.jac) must equal the
+    jacfwd oracle to f64 roundoff — proves the analytic assembly path
+    solves the same Newton systems as round 1's autodiff path."""
+    kern = make()
+    rng = np.random.default_rng(3)
+    for trial in range(3):
+        w = jnp.asarray(rng.normal(size=ndl) * (0.5 if trial else 0.0))
+        c = jnp.asarray(coords)
+        J_ad = np.asarray(jax.jacfwd(lambda ww: kern(c, ww))(w))
+        J_an = np.asarray(kern.jac(c, w))
+        scale = max(np.abs(J_ad).max(), 1.0)
+        np.testing.assert_allclose(J_an, J_ad, atol=1e-12 * scale)
+
+
 def test_stokes_kernel_symmetry_structure():
     """The unstabilized velocity block of the Stokes kernel is symmetric;
     the pressure-velocity coupling blocks are (-B, B^T)."""
