@@ -1,0 +1,125 @@
+"""Double-float (two-f32) stabilized NS residual kernel.
+
+Same integrand as forms/navier_stokes.py::make_ns_sups_kernel (reference
+NavierStokes/NavierStokesChannelFlow.py:220-266) but every operation is
+compensated two-f32 arithmetic (utils/dfloat.py), giving ~48-bit element
+residuals on a TPU whose f64 silently executes as f32.  Used by the
+iterative-refinement Newton (solve/refine.py) to reach the reference's
+SNES rtol=atol=1e-8 (NavierStokesChannelFlow.py:281-283).
+
+All tabulated constants (shape values, gradients, quadrature weights, nu)
+enter as exact hi/lo splits of their f64 values, so the df residual is the
+residual of the *f64 problem* — tests/test_dfloat.py pins it against the
+f64 kernel to ~1e-12 relative.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.elements import element, quadrature
+from ..utils.dfloat import (DF, df, df_concatenate, df_det_small, df_div,
+                            df_einsum, df_inv_small, df_mul, df_rsqrt)
+
+
+def split64(x) -> DF:
+    """Exact hi/lo split of f64 host data into two f32 words."""
+    x = np.asarray(x, np.float64)
+    hi = x.astype(np.float32)
+    lo = (x - hi.astype(np.float64)).astype(np.float32)
+    return DF(jnp.asarray(hi), jnp.asarray(lo))
+
+
+def df_affine_geometry(coords: DF, dim: int):
+    """df mirror of assemble.assembly.affine_geometry."""
+    E = coords[1: dim + 1, :] - coords[0:1, :]
+    J = DF(E.hi.T, E.lo.T)
+    detJ = df_det_small(J)
+    invJ = df_inv_small(J)
+    absdet = DF(jnp.where(detJ.hi < 0, -detJ.hi, detJ.hi),
+                jnp.where(detJ.hi < 0, -detJ.lo, detJ.lo))
+    return J, invJ, absdet
+
+
+def make_ns_sups_kernel_df(
+    cell: str,
+    nu: float,
+    C_I: float = 36.0,
+    transposed_stab: bool = True,
+    qdeg: int = 2,
+) -> Callable:
+    """G-metric SUPS/LSIC residual kernel, two-f32 compensated.
+
+    kernel(coords: DF (nv, gdim), w: DF (ndl,)) -> DF (ndl,)
+    """
+    elem = element(cell, 1)
+    qr = quadrature(cell, qdeg)
+    phi_np, dphi_np = elem.tabulate(qr.points)
+    dim = elem.dim
+    nv = elem.ndof
+    bs = dim + 1
+
+    phi_c = split64(phi_np)
+    dphi_c = split64(dphi_np)
+    wq_c = split64(qr.weights)
+    nu_c = split64(nu)
+    cinu2 = split64(C_I * float(np.float64(nu) ** 2))
+
+    def kernel(coords: DF, w: DF) -> DF:
+        _, invJ, detJ = df_affine_geometry(coords, dim)
+        G = df_einsum("ki,kj->ij", invJ, invJ)
+        trG = df_einsum("ii->", G)
+        GdG = df_einsum("ij,ij->", G, G)
+
+        wb = w.reshape(nv, bs)
+        u_n = wb[:, :dim]
+        p_n = wb[:, dim]
+
+        g = df_einsum("qak,ki->qai", dphi_c, invJ)
+        u_q = df_einsum("qa,ai->qi", phi_c, u_n)
+        grad_u = df_einsum("qaj,ai->qij", g, u_n)
+        grad_p = df_einsum("qai,a->qi", g, p_n)
+        div_u = df_einsum("qii->q", grad_u)
+        p_q = df_einsum("qa,a->q", phi_c, p_n)
+
+        uGu = df_einsum("qi,ij,qj->q", u_q, G, u_q)
+        tau = df_rsqrt(uGu + _bcast(df_mul(cinu2, GdG), uGu.hi.shape))
+        nu_lsic = df_div(df(1.0, tau.dtype),
+                         df_mul(_bcast(trG, tau.hi.shape), tau))
+
+        adv = df_einsum("qij,qj->qi", grad_u, u_q)
+        if transposed_stab:
+            res_m = df_einsum("qij,qi->qj", grad_u, u_q) + grad_p
+        else:
+            res_m = adv + grad_p
+
+        r_u = df_einsum("q,qi,qa->ai", wq_c, adv, phi_c)
+        r_u = r_u + df_mul(_bcast(nu_c, r_u.hi.shape),
+                           df_einsum("q,qij,qaj->ai", wq_c, grad_u, g))
+        r_u = r_u - df_einsum("q,q,qai->ai", wq_c, p_q, g)
+        r_p = df_einsum("q,q,qa->a", wq_c, div_u, phi_c)
+
+        res_dot_g = df_einsum("qj,qaj->qa", res_m, g)
+        if transposed_stab:
+            r_u = r_u + df_einsum("q,q,qi,qa->ai", wq_c, tau, u_q, res_dot_g)
+        else:
+            u_dot_g = df_einsum("qj,qaj->qa", u_q, g)
+            r_u = r_u + df_einsum("q,q,qi,qa->ai", wq_c, tau, res_m, u_dot_g)
+        r_p = r_p + df_einsum("q,q,qa->a", wq_c, tau, res_dot_g)
+
+        r_u = r_u + df_einsum("q,q,q,qai->ai", wq_c, nu_lsic, div_u, g)
+
+        r = df_concatenate(
+            [r_u, DF(r_p.hi[:, None], r_p.lo[:, None])], 1).reshape(-1)
+        return df_mul(r, _bcast(detJ, r.hi.shape))
+
+    kernel.nv = nv
+    kernel.bs = bs
+    return kernel
+
+
+def _bcast(x: DF, shape) -> DF:
+    return DF(jnp.broadcast_to(x.hi, shape), jnp.broadcast_to(x.lo, shape))

@@ -17,12 +17,15 @@ import jax.numpy as jnp
 
 from ..assemble.assembly import (
     AsmArrays, bcsr_matvec, matrix_values_of, residual_of)
+from ..assemble.df_assembly import DFArrays, df_residual_of
 from ..assemble.layered import (
     LayeredArrays, layered_diag_blocks, layered_matvec,
     matrix_values_layered)
+from ..utils.dfloat import DF, df_add, df_mul
 from .krylov import KrylovResult, cg, fgmres
 from .newton import NewtonResult, newton_solve
 from .precond import block_jacobi, plane_gs_grouped, plane_gs_layered
+from .refine import RefineResult, refine_newton
 
 
 def _layered_pc(pc, arrays, n2d, n_planes, mask):
@@ -235,3 +238,103 @@ def solve_newton_bcsr(
         rtol=rtol, atol=atol, max_it=max_it, ksp_rtol=ksp_rtol,
         ksp_restart=ksp_restart, ksp_max_restarts=ksp_max_restarts,
         monitor=monitor)
+
+
+def _df_bc_residual(kernel_df, ndofs, dfa, mask, g_df):
+    """DF x -> DF F(x) with Dirichlet rows substituted (w - g)."""
+    inv_mask = 1.0 - mask
+    zeros = jnp.zeros_like(mask)
+
+    def residual_df(w: DF) -> DF:
+        r = df_residual_of(kernel_df, ndofs, dfa, w)
+        wm = df_add(w, -g_df)
+        return df_add(df_mul(r, DF(mask, zeros)),
+                      df_mul(wm, DF(inv_mask, zeros)))
+
+    return residual_df
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5) + tuple(range(13, 20)))
+def refine_newton_layered(
+    kernel: Callable,
+    kernel_df: Callable,
+    n2d: int,
+    n_planes: int,
+    bs: int,
+    E: int,
+    arrays: LayeredArrays,
+    dfa: DFArrays,
+    mask: jnp.ndarray,
+    g_hi: jnp.ndarray,
+    g_lo: jnp.ndarray,
+    x0: jnp.ndarray,
+    n0: jnp.ndarray,
+    rtol: float = 1e-8,
+    atol: float = 1e-8,
+    max_it: int = 10,
+    ksp_rtol: float = 1e-2,
+    ksp_restart: int = 50,
+    ksp_max_restarts: int = 8,
+    pc: str = "plane_gs",
+) -> RefineResult:
+    """Iterative refinement on the layered fast path: df residual, f32
+    Jacobian + FGMRES (see solve/refine.py)."""
+    ndofs = n2d * n_planes * bs
+    residual_df = _df_bc_residual(
+        kernel_df, ndofs, dfa, mask, DF(g_hi, g_lo))
+
+    def jac_values(w):
+        return matrix_values_layered(kernel, E, n_planes, bs, arrays, w)
+
+    def make_op(values):
+        def op(x):
+            y = layered_matvec(arrays, n2d, n_planes, values, mask * x)
+            return mask * y + (1.0 - mask) * x
+        return op
+
+    make_pc = _layered_pc(pc, arrays, n2d, n_planes, mask)
+    return refine_newton(
+        residual_df, jac_values, make_op, make_pc, x0, n0,
+        rtol=rtol, atol=atol, max_it=max_it, ksp_rtol=ksp_rtol,
+        ksp_restart=ksp_restart, ksp_max_restarts=ksp_max_restarts)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5) + tuple(range(13, 19)))
+def refine_newton_bcsr(
+    kernel: Callable,
+    kernel_df: Callable,
+    ndofs: int,
+    nnzb: int,
+    bs: int,
+    n_rows: int,
+    arrays: AsmArrays,
+    dfa: DFArrays,
+    mask: jnp.ndarray,
+    g_hi: jnp.ndarray,
+    g_lo: jnp.ndarray,
+    x0: jnp.ndarray,
+    n0: jnp.ndarray,
+    rtol: float = 1e-8,
+    atol: float = 1e-8,
+    max_it: int = 10,
+    ksp_rtol: float = 1e-2,
+    ksp_restart: int = 50,
+    ksp_max_restarts: int = 8,
+) -> RefineResult:
+    """Iterative refinement on the generic block-CSR path."""
+    residual_df = _df_bc_residual(
+        kernel_df, ndofs, dfa, mask, DF(g_hi, g_lo))
+
+    def jac_values(w):
+        return matrix_values_of(kernel, nnzb, bs, arrays, w)
+
+    def make_op(values):
+        return _bc_op(arrays, n_rows, values, mask)
+
+    def make_pc(values):
+        return block_jacobi(values[arrays.diag_pos], mask)
+
+    return refine_newton(
+        residual_df, jac_values, make_op, make_pc, x0, n0,
+        rtol=rtol, atol=atol, max_it=max_it, ksp_rtol=ksp_rtol,
+        ksp_restart=ksp_restart, ksp_max_restarts=ksp_max_restarts)
