@@ -41,7 +41,7 @@ def build_problem(lc: float):
         make_annulus_image(img, "circle")
     inlet1, inlet2 = solve_inlet_profiles(img, 0.5, DEFAULT)
     mesh, _, _ = generate_channel_mesh(img, lc, DEFAULT, layered=True)
-    W, lp, mask, g = _setup_layered(mesh, inlet1, inlet2)
+    W, lp, mask, g, _g64 = _setup_layered(mesh, inlet1, inlet2)
     return mesh, W, lp, mask, g
 
 

@@ -19,12 +19,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..assemble.assembly import assembler_for_mixed
+from ..assemble.df_assembly import DFResidual
 from ..config import SolverConfig
 from ..fem.bc import DirichletBC, bc_mask, bc_vector, combine_bcs
 from ..fem.space import make_mixed_space
 from ..forms.stokes import make_stokes_kernel
+from ..forms.stokes_df import make_stokes_kernel_df
+from ..forms.navier_stokes_df import split64
 from ..mesh.structured import duct_mesh
-from ..solve.driver import solve_linear_bcsr
+from ..solve.driver import refine_newton_bcsr, solve_linear_bcsr
 from ..utils.exact import square_duct_profile, square_duct_mean
 
 
@@ -36,6 +39,8 @@ class DuctResult:
     p: np.ndarray
     ksp_iters: int
     converged: bool
+    refined: bool = False
+    refine_resnorm: float = float("nan")
 
     def flux(self, marker: int) -> float:
         """Integral of u_x over the facets with the given marker."""
@@ -80,14 +85,41 @@ def solve_duct(
         DirichletBC(vdofs(inlet_nodes), iv.ravel()),
         DirichletBC(W.pressure_dof(outlet_nodes), np.zeros(len(outlet_nodes))),
     ])
+    g64 = bc_vector(W.ndofs, bc)
     mask = jnp.asarray(bc_mask(W.ndofs, bc), asm.dtype)
-    g = jnp.asarray(bc_vector(W.ndofs, bc), asm.dtype)
+    g = jnp.asarray(g64, asm.dtype)
     pat = asm.pattern
 
     kern = make_stokes_kernel("tetrahedron", nu=1.0, mu_T_coeff=0.2)
+    refine_on = cfg.refine == "on" or (
+        cfg.refine == "auto" and mask.dtype == jnp.float32)
+    # on f32, a 1e-10 Krylov tolerance is unreachable — solve loosely and
+    # let double-float iterative refinement carry the residual the rest of
+    # the way (solve/refine.py; matches the reference's f64 bcgs 1e-10,
+    # StokesFlow/StokesChannelFlow.py:166)
+    base_rtol = 1e-6 if refine_on else 1e-10
     res = solve_linear_bcsr(
         kern, asm.ndofs, pat.nnzb, pat.bs, pat.n_rows,
-        1e-10, cfg.ksp_restart, asm.arrays, mask, g)
+        base_rtol, cfg.ksp_restart, asm.arrays, mask, g)
+
+    if refine_on:
+        kdf = make_stokes_kernel_df("tetrahedron", nu=1.0, mu_T_coeff=0.2)
+        dfr = DFResidual(W, kdf)
+        g_df = split64(g64)
+        zero = jnp.zeros(asm.ndofs, asm.dtype)
+        n0 = jnp.linalg.norm(
+            mask * asm.residual(kern, zero) + (1.0 - mask) * (zero - g))
+        rres = refine_newton_bcsr(
+            kern, kdf, asm.ndofs, pat.nnzb, pat.bs, pat.n_rows,
+            asm.arrays, dfr.dfa, mask, g_df.hi, g_df.lo, res.x, n0,
+            1e-10, 0.0, cfg.refine_max_it, cfg.refine_ksp_rtol,
+            cfg.ksp_restart, cfg.refine_ksp_max_restarts)
+        w = np.asarray(rres.x_hi, np.float64) + np.asarray(rres.x_lo)
+        u, p = W.split(w)
+        return DuctResult(mesh, W, np.asarray(u), np.asarray(p),
+                          int(res.iters), bool(rres.converged),
+                          refined=True,
+                          refine_resnorm=float(rres.resnorm))
 
     u, p = W.split(np.asarray(res.x))
     return DuctResult(mesh, W, np.asarray(u), np.asarray(p),

@@ -20,13 +20,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..assemble.assembly import assembler_for_mixed
+from ..assemble.df_assembly import DFResidual
 from ..config import SolverConfig
 from ..fem.bc import DirichletBC, bc_mask, bc_vector, combine_bcs
 from ..fem.space import MixedVelocityPressureSpace, make_mixed_space
 from ..forms.navier_stokes import make_ns_ugn_kernel
+from ..forms.navier_stokes_df import make_ns_ugn_kernel_df, split64
 from ..forms.stokes import make_stokes_kernel
 from ..mesh.structured import unit_square_tri
-from ..solve.driver import solve_linear_bcsr, solve_newton_bcsr
+from ..solve.driver import (refine_newton_bcsr, solve_linear_bcsr,
+                            solve_newton_bcsr)
 
 
 @dataclasses.dataclass
@@ -39,6 +42,10 @@ class CavityResult:
     newton_iters: int
     newton_resnorm: float
     converged: bool
+    # double-float refinement (solve/refine.py) on f32 backends:
+    refined: bool = False
+    refine_resnorm: float = float("nan")
+    w_lo: Optional[np.ndarray] = None
 
 
 def cavity_bcs(mesh, W: MixedVelocityPressureSpace) -> DirichletBC:
@@ -96,16 +103,22 @@ def solve_lid_driven(
     Re: float = 100.0,
     solver: Optional[SolverConfig] = None,
     a0: float = 1.0 / 3.0,
+    dtype=None,
 ) -> CavityResult:
-    """Full cavity pipeline: mesh -> Stokes init -> Newton NS solve."""
+    """Full cavity pipeline: mesh -> Stokes init -> Newton NS solve.
+
+    On f32 (dtype=float32 or the TPU default) the Newton solve is followed
+    by double-float iterative refinement to the reference's 1e-8 tolerance
+    (cfg.refine, solve/refine.py)."""
     cfg = solver or SolverConfig()
     nu = 1.0 / Re
     mesh = unit_square_tri(n, n)
     W = make_mixed_space(mesh, 1, 1)
-    asm = assembler_for_mixed(W)
+    asm = assembler_for_mixed(W, dtype=dtype)
     bc = cavity_bcs(mesh, W)
+    g64 = bc_vector(W.ndofs, bc)
     mask = jnp.asarray(bc_mask(W.ndofs, bc), asm.dtype)
-    g = jnp.asarray(bc_vector(W.ndofs, bc), asm.dtype)
+    g = jnp.asarray(g64, asm.dtype)
     pat = asm.pattern
 
     stokes_k = make_stokes_kernel(
@@ -121,6 +134,29 @@ def solve_lid_driven(
         rtol=cfg.newton_rtol, atol=cfg.newton_atol, max_it=cfg.newton_max_it,
         ksp_rtol=cfg.ksp_rtol, ksp_restart=cfg.ksp_restart,
         monitor=cfg.monitor)
+
+    refine_on = cfg.refine == "on" or (
+        cfg.refine == "auto" and mask.dtype == jnp.float32)
+    if refine_on:
+        kdf = make_ns_ugn_kernel_df("triangle", nu=nu)
+        dfr = DFResidual(W, kdf)
+        g_df = split64(g64)
+        r0 = asm.residual(ns_k, res.x)
+        n0 = jnp.linalg.norm(mask * r0 + (1.0 - mask) * (res.x - g))
+        rres = refine_newton_bcsr(
+            ns_k, kdf, asm.ndofs, pat.nnzb, pat.bs, pat.n_rows,
+            asm.arrays, dfr.dfa, mask, g_df.hi, g_df.lo, nres.x, n0,
+            cfg.newton_rtol, cfg.newton_atol, cfg.refine_max_it,
+            cfg.refine_ksp_rtol, cfg.ksp_restart,
+            cfg.refine_ksp_max_restarts)
+        w_lo = np.asarray(rres.x_lo)
+        w = np.asarray(rres.x_hi)
+        u, p = W.split(np.asarray(w, np.float64) + w_lo)
+        return CavityResult(
+            mesh, W, w, np.asarray(u), np.asarray(p),
+            int(nres.iters), float(nres.resnorm),
+            bool(nres.converged) or bool(rres.converged),
+            refined=True, refine_resnorm=float(rres.resnorm), w_lo=w_lo)
 
     w = np.asarray(nres.x)
     u, p = W.split(w)

@@ -88,6 +88,14 @@ class SolverConfig:
     ksp_restart: int = 50            # FGMRES restart length
     line_search: bool = True         # backtracking (PETSc SNES default is bt)
     monitor: bool = False
+    # double-float iterative refinement (solve/refine.py): pushes the
+    # final residual to the reference's 1e-8 on f32 backends where plain
+    # Newton floors at ~1e-6.  "auto" enables it exactly when the solve
+    # dtype is float32 (i.e. on TPU); "on"/"off" force it.
+    refine: str = "auto"
+    refine_max_it: int = 10
+    refine_ksp_rtol: float = 1e-2
+    refine_ksp_max_restarts: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

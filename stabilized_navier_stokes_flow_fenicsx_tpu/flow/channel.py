@@ -28,19 +28,22 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..assemble.assembly import assembler_for_mixed
+from ..assemble.assembly import AsmArrays, assembler_for_mixed, residual_of
+from ..assemble.df_assembly import DFResidual
 from ..config import Config, DEFAULT
 from ..fem.bc import DirichletBC, bc_mask, bc_vector, combine_bcs
 from ..fem.interpolate import build_locator, interpolate_p1_np
 from ..fem.space import MixedVelocityPressureSpace, make_mixed_space
 from ..forms.navier_stokes import make_ns_sups_kernel
+from ..forms.navier_stokes_df import make_ns_sups_kernel_df, split64
 from ..forms.stokes import make_stokes_kernel
 from ..mesh.core import SimplexMesh
 from ..mesh.extrude import extrude_channel
 from ..mesh.image import get_contours, load_image, optimize_contour
 from ..mesh.tri2d import triangulate_cross_section
-from ..solve.driver import (solve_linear_bcsr, solve_linear_layered,
-    solve_newton_bcsr, solve_newton_layered)
+from ..solve.driver import (refine_newton_bcsr, refine_newton_layered,
+    solve_linear_bcsr, solve_linear_layered, solve_newton_bcsr,
+    solve_newton_layered)
 from .inlet import InletProfile, solve_inlet_profiles
 
 
@@ -56,6 +59,11 @@ class ChannelSolution:
     newton_resnorm: float
     converged: bool
     timings: dict
+    # double-float refinement (solve/refine.py), populated when enabled:
+    refined: bool = False
+    refine_iters: int = 0
+    refine_resnorm: float = float("nan")
+    w_lo: Optional[np.ndarray] = None     # hi+lo = two-f32 solution
 
 
 def generate_channel_mesh(
@@ -140,9 +148,10 @@ def _setup(mesh, inlet1, inlet2):
     W = make_mixed_space(mesh, 1, 1)
     asm = assembler_for_mixed(W)
     bc = channel_bcs(mesh, W, inlet1, inlet2)
+    g64 = bc_vector(W.ndofs, bc)
     mask = jnp.asarray(bc_mask(W.ndofs, bc), asm.dtype)
-    g = jnp.asarray(bc_vector(W.ndofs, bc), asm.dtype)
-    return W, asm, mask, g
+    g = jnp.asarray(g64, asm.dtype)
+    return W, asm, mask, g, g64
 
 
 def _setup_layered(mesh, inlet1, inlet2, dtype=None):
@@ -163,9 +172,10 @@ def _setup_layered(mesh, inlet1, inlet2, dtype=None):
         [DirichletBC(unused_dofs, np.zeros(len(unused_dofs))), bc])
     if dtype is None:
         dtype = jnp.zeros(0).dtype
+    g64 = bc_vector(W.ndofs, bc)
     mask = jnp.asarray(bc_mask(W.ndofs, bc), dtype)
-    g = jnp.asarray(bc_vector(W.ndofs, bc), dtype)
-    return W, lp, mask, g
+    g = jnp.asarray(g64, dtype)
+    return W, lp, mask, g, g64
 
 
 def solve_ns_flow(
@@ -211,7 +221,7 @@ def solve_ns_flow(
         transposed_stab=cfg.stab.transposed_advection_in_stab)
 
     if layered:
-        W_c, lp_c, mask_c, g_c = _setup_layered(mesh_c, inlet1, inlet2)
+        W_c, lp_c, mask_c, g_c, g64_c = _setup_layered(mesh_c, inlet1, inlet2)
         t0 = time.time()
         sres = solve_linear_layered(
             stokes_k, lp_c.n2d, lp_c.n_planes, lp_c.bs, lp_c.arrays,
@@ -225,7 +235,7 @@ def solve_ns_flow(
             scfg.ksp_rtol, scfg.ksp_restart)
         timings["coarse_ns"] = time.time() - t0
     else:
-        W_c, asm_c, mask_c, g_c = _setup(mesh_c, inlet1, inlet2)
+        W_c, asm_c, mask_c, g_c, g64_c = _setup(mesh_c, inlet1, inlet2)
         pat = asm_c.pattern
         t0 = time.time()
         sres = solve_linear_bcsr(
@@ -245,19 +255,20 @@ def solve_ns_flow(
     # ---- fine mesh: NS from interpolated coarse ------------------------
     if abs(channel_mesh_size - coarse_lc) < 1e-12:
         mesh_f, W_f, w0_f = mesh_c, W_c, nres_c.x
-        setup_f = (lp_c, mask_c, g_c) if layered else \
-            (asm_c, mask_c, g_c)
+        setup_f = (lp_c, mask_c, g_c, g64_c) if layered else \
+            (asm_c, mask_c, g_c, g64_c)
     else:
         t0 = time.time()
         mesh_f, inner_loop, _ = generate_channel_mesh(
             img_fname, channel_mesh_size, cfg, layered=layered)
         timings["fine_mesh"] = time.time() - t0
         if layered:
-            W_f, lp_f, mask_f, g_f = _setup_layered(mesh_f, inlet1, inlet2)
-            setup_f = (lp_f, mask_f, g_f)
+            W_f, lp_f, mask_f, g_f, g64_f = _setup_layered(
+                mesh_f, inlet1, inlet2)
+            setup_f = (lp_f, mask_f, g_f, g64_f)
         else:
-            W_f, asm_f, mask_f, g_f = _setup(mesh_f, inlet1, inlet2)
-            setup_f = (asm_f, mask_f, g_f)
+            W_f, asm_f, mask_f, g_f, g64_f = _setup(mesh_f, inlet1, inlet2)
+            setup_f = (asm_f, mask_f, g_f, g64_f)
         t0 = time.time()
         w0_f = jnp.asarray(interpolate_solution(mesh_c, W_c, w_c,
                                                 mesh_f, W_f))
@@ -267,14 +278,14 @@ def solve_ns_flow(
 
     t0 = time.time()
     if layered:
-        lp_f, mask_f, g_f = setup_f
+        lp_f, mask_f, g_f, g64_f = setup_f
         nres_f = solve_newton_layered(
             ns_f, lp_f.n2d, lp_f.n_planes, lp_f.bs, lp_f.arrays,
             mask_f, g_f, w0_f, lp_f.E,
             scfg.newton_rtol, scfg.newton_atol, scfg.newton_max_it,
             scfg.ksp_rtol, scfg.ksp_restart)
     else:
-        asm_f, mask_f, g_f = setup_f
+        asm_f, mask_f, g_f, g64_f = setup_f
         patf = asm_f.pattern
         nres_f = solve_newton_bcsr(
             ns_f, asm_f.ndofs, patf.nnzb, patf.bs, patf.n_rows,
@@ -283,6 +294,57 @@ def solve_ns_flow(
             max_it=scfg.newton_max_it, ksp_rtol=scfg.ksp_rtol,
             ksp_restart=scfg.ksp_restart)
     timings["fine_ns"] = time.time() - t0
+
+    # ---- double-float refinement to reference tolerances on f32 --------
+    refine_on = scfg.refine == "on" or (
+        scfg.refine == "auto" and mask_f.dtype == jnp.float32)
+    rres = None
+    if refine_on:
+        t0 = time.time()
+        ndofs_f = int(mask_f.shape[0])
+        kdf = make_ns_sups_kernel_df(
+            "tetrahedron", nu=1.0 / Re, C_I=cfg.stab.C_I,
+            transposed_stab=cfg.stab.transposed_advection_in_stab)
+        dfr = DFResidual(W_f, kdf)
+        g_df = split64(g64_f)
+        if layered:
+            asm_arrays_f = AsmArrays(
+                cell_dofs=lp_f.arrays.cell_dofs,
+                cell_coords=lp_f.arrays.cell_coords,
+                indices=lp_f.arrays.cols, row_ids=lp_f.arrays.row_ids,
+                ell_pos=lp_f.arrays.ell_pos,
+                diag_pos=lp_f.arrays.diag_pos)
+        else:
+            asm_arrays_f = asm_f.arrays
+        r0 = residual_of(ns_f, ndofs_f, asm_arrays_f, w0_f)
+        n0 = jnp.linalg.norm(
+            mask_f * r0 + (1.0 - mask_f) * (w0_f - g_f))
+        if layered:
+            rres = refine_newton_layered(
+                ns_f, kdf, lp_f.n2d, lp_f.n_planes, lp_f.bs, lp_f.E,
+                lp_f.arrays, dfr.dfa, mask_f, g_df.hi, g_df.lo,
+                nres_f.x, n0, scfg.newton_rtol, scfg.newton_atol,
+                scfg.refine_max_it, scfg.refine_ksp_rtol,
+                scfg.ksp_restart, scfg.refine_ksp_max_restarts)
+        else:
+            rres = refine_newton_bcsr(
+                ns_f, kdf, asm_f.ndofs, patf.nnzb, patf.bs, patf.n_rows,
+                asm_f.arrays, dfr.dfa, mask_f, g_df.hi, g_df.lo,
+                nres_f.x, n0, scfg.newton_rtol, scfg.newton_atol,
+                scfg.refine_max_it, scfg.refine_ksp_rtol,
+                scfg.ksp_restart, scfg.refine_ksp_max_restarts)
+        timings["refine"] = time.time() - t0
+
+    if rres is not None:
+        w = np.asarray(rres.x_hi)
+        w_lo = np.asarray(rres.x_lo)
+        u, p = W_f.split(np.asarray(rres.x_hi, np.float64) + w_lo)
+        return ChannelSolution(
+            mesh_f, W_f, w, np.asarray(u), np.asarray(p), Re,
+            int(nres_f.iters), float(nres_f.resnorm),
+            bool(nres_f.converged) or bool(rres.converged), timings,
+            refined=True, refine_iters=int(rres.iters),
+            refine_resnorm=float(rres.resnorm), w_lo=w_lo)
 
     w = np.asarray(nres_f.x)
     u, p = W_f.split(w)

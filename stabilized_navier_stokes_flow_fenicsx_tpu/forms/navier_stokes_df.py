@@ -123,3 +123,94 @@ def make_ns_sups_kernel_df(
 
 def _bcast(x: DF, shape) -> DF:
     return DF(jnp.broadcast_to(x.hi, shape), jnp.broadcast_to(x.lo, shape))
+
+
+def make_ns_ugn_kernel_df(
+    cell: str,
+    nu: float,
+    qdeg: int = 2,
+) -> Callable:
+    """UGN/Tezduyar-tau stabilized NS residual kernel, two-f32 compensated
+    (df mirror of forms/navier_stokes.py::make_ns_ugn_kernel; reference
+    LidDrivenFlow/LidDrivenNavierStokesFlow.py:119-143).  Branch guards
+    (|u| <= 1e-8, Re_UGN/3 < 1) select on hi words — the same branches the
+    f32 kernel takes except within one ulp of the thresholds."""
+    from ..utils.dfloat import df_where
+    from .stokes_df import df_cell_diameter
+
+    elem = element(cell, 1)
+    qr = quadrature(cell, qdeg)
+    phi_np, dphi_np = elem.tabulate(qr.points)
+    dim = elem.dim
+    nv = elem.ndof
+    bs = dim + 1
+
+    phi_c = split64(phi_np)
+    dphi_c = split64(dphi_np)
+    wq_c = split64(qr.weights)
+    nu_c = split64(nu)
+    inv4nu = split64(1.0 / (4.0 * float(np.float64(nu))))
+    inv2nu = split64(1.0 / (2.0 * float(np.float64(nu))))
+    third = split64(1.0 / 3.0)     # not f32-representable: needs both words
+    tiny = float(jnp.finfo(jnp.float32).tiny)
+
+    def kernel(coords: DF, w: DF) -> DF:
+        from ..utils.dfloat import df_add, df_sqrt
+
+        _, invJ, detJ = df_affine_geometry(coords, dim)
+        h = df_cell_diameter(coords)
+        h2 = df_mul(h, h)
+
+        wb = w.reshape(nv, bs)
+        u_n = wb[:, :dim]
+        p_n = wb[:, dim]
+
+        g = df_einsum("qak,ki->qai", dphi_c, invJ)
+        u_q = df_einsum("qa,ai->qi", phi_c, u_n)
+        grad_u = df_einsum("qaj,ai->qij", g, u_n)
+        grad_p = df_einsum("qai,a->qi", g, p_n)
+        div_u = df_einsum("qii->q", grad_u)
+        p_q = df_einsum("qa,a->q", phi_c, p_n)
+
+        u_sq = df_einsum("qi,qi->q", u_q, u_q)
+        u_norm = df_sqrt(u_sq + df(tiny, u_sq.dtype))
+        nq = u_sq.hi.shape[0]
+        zero_q = df(jnp.zeros(nq, u_sq.dtype))
+        guard = u_norm.hi <= 1e-8
+        inv_t1 = df_where(
+            guard, zero_q,
+            df_div(df_mul(df(4.0, u_sq.dtype), u_sq), _bcast(h2, (nq,))))
+        tau3 = df_mul(inv4nu, h2)
+        inv_t3_sq = df_div(df(1.0, u_sq.dtype),
+                           _bcast(df_mul(tau3, tau3), (nq,)))
+        tau_s = df_rsqrt(inv_t1 + inv_t3_sq)
+        re_ugn = df_mul(df_mul(u_norm, _bcast(h, (nq,))),
+                        _bcast(inv2nu, (nq,)))
+        re3 = df_mul(re_ugn, _bcast(third, (nq,)))
+        one_q = df(jnp.ones(nq, u_sq.dtype))
+        z = df_where(re3.hi < 1.0, re3, one_q)
+        tau_l = df_mul(df_mul(df(0.5, u_sq.dtype), _bcast(h, (nq,))),
+                       df_mul(u_norm, z))
+
+        adv = df_einsum("qij,qj->qi", grad_u, u_q)
+        res = adv + grad_p
+
+        r_u = df_einsum("q,qi,qa->ai", wq_c, adv, phi_c)
+        r_u = r_u + df_mul(_bcast(nu_c, (nv, dim)),
+                           df_einsum("q,qij,qaj->ai", wq_c, grad_u, g))
+        r_u = r_u - df_einsum("q,q,qai->ai", wq_c, p_q, g)
+        r_p = df_einsum("q,q,qa->a", wq_c, div_u, phi_c)
+
+        u_dot_g = df_einsum("qj,qaj->qa", u_q, g)
+        r_u = r_u + df_einsum("q,q,qi,qa->ai", wq_c, tau_s, res, u_dot_g)
+        res_dot_g = df_einsum("qi,qai->qa", res, g)
+        r_p = r_p + df_einsum("q,q,qa->a", wq_c, tau_s, res_dot_g)
+        r_u = r_u + df_einsum("q,q,q,qai->ai", wq_c, tau_l, div_u, g)
+
+        r = df_concatenate(
+            [r_u, DF(r_p.hi[:, None], r_p.lo[:, None])], 1).reshape(-1)
+        return df_mul(r, _bcast(detJ, r.hi.shape))
+
+    kernel.nv = nv
+    kernel.bs = bs
+    return kernel
