@@ -144,9 +144,9 @@ def interpolate_solution(
     return np.asarray(dst_space.combine(u_i, p_i))
 
 
-def _setup(mesh, inlet1, inlet2):
+def _setup(mesh, inlet1, inlet2, dtype=None):
     W = make_mixed_space(mesh, 1, 1)
-    asm = assembler_for_mixed(W)
+    asm = assembler_for_mixed(W, dtype=dtype)
     bc = channel_bcs(mesh, W, inlet1, inlet2)
     g64 = bc_vector(W.ndofs, bc)
     mask = jnp.asarray(bc_mask(W.ndofs, bc), asm.dtype)
@@ -187,6 +187,7 @@ def solve_ns_flow(
     coarse_Re: Optional[float] = None,
     coarse_lc: float = 0.1,
     layered: bool = True,
+    dtype=None,
 ) -> ChannelSolution:
     """Full continuation solve (reference solve_NS_flow, :468-549).
 
@@ -221,7 +222,8 @@ def solve_ns_flow(
         transposed_stab=cfg.stab.transposed_advection_in_stab)
 
     if layered:
-        W_c, lp_c, mask_c, g_c, g64_c = _setup_layered(mesh_c, inlet1, inlet2)
+        W_c, lp_c, mask_c, g_c, g64_c = _setup_layered(
+            mesh_c, inlet1, inlet2, dtype)
         t0 = time.time()
         sres = solve_linear_layered(
             stokes_k, lp_c.n2d, lp_c.n_planes, lp_c.bs, lp_c.arrays,
@@ -235,7 +237,7 @@ def solve_ns_flow(
             scfg.ksp_rtol, scfg.ksp_restart)
         timings["coarse_ns"] = time.time() - t0
     else:
-        W_c, asm_c, mask_c, g_c, g64_c = _setup(mesh_c, inlet1, inlet2)
+        W_c, asm_c, mask_c, g_c, g64_c = _setup(mesh_c, inlet1, inlet2, dtype)
         pat = asm_c.pattern
         t0 = time.time()
         sres = solve_linear_bcsr(
@@ -264,14 +266,16 @@ def solve_ns_flow(
         timings["fine_mesh"] = time.time() - t0
         if layered:
             W_f, lp_f, mask_f, g_f, g64_f = _setup_layered(
-                mesh_f, inlet1, inlet2)
+                mesh_f, inlet1, inlet2, dtype)
             setup_f = (lp_f, mask_f, g_f, g64_f)
         else:
-            W_f, asm_f, mask_f, g_f, g64_f = _setup(mesh_f, inlet1, inlet2)
+            W_f, asm_f, mask_f, g_f, g64_f = _setup(
+                mesh_f, inlet1, inlet2, dtype)
             setup_f = (asm_f, mask_f, g_f, g64_f)
         t0 = time.time()
         w0_f = jnp.asarray(interpolate_solution(mesh_c, W_c, w_c,
-                                                mesh_f, W_f))
+                                                mesh_f, W_f),
+                           setup_f[1].dtype)
         # re-impose BC values exactly on the fine mesh
         w0_f = setup_f[1] * w0_f + (1.0 - setup_f[1]) * setup_f[2]
         timings["interpolate"] = time.time() - t0
