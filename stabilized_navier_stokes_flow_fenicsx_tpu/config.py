@@ -96,6 +96,11 @@ class SolverConfig:
     refine_max_it: int = 10
     refine_ksp_rtol: float = 1e-2
     refine_ksp_max_restarts: int = 8
+    # layered-operator preconditioner (solve/driver.py::_layered_pc):
+    # "mg" = aggregation multigrid V-cycle (mesh-independent iteration
+    # counts, solve/mg.py), "plane_gs[_bf16]" = plane Gauss-Seidel.
+    pc: str = "mg"
+    mg_levels: int = 3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -154,9 +154,10 @@ def _setup(mesh, inlet1, inlet2, dtype=None):
     return W, asm, mask, g, g64
 
 
-def _setup_layered(mesh, inlet1, inlet2, dtype=None):
+def _setup_layered(mesh, inlet1, inlet2, dtype=None, mg_levels=0):
     """Layered-solver setup: BCs plus identity rows on the unused nodes
-    of the solid splitter interior."""
+    of the solid splitter interior.  mg_levels > 0 also builds the
+    multigrid hierarchy (solve/mg.py); returned as the 6th element."""
     from ..assemble.layered import build_layered
     from ..fem.bc import DirichletBC, combine_bcs
 
@@ -175,7 +176,16 @@ def _setup_layered(mesh, inlet1, inlet2, dtype=None):
     g64 = bc_vector(W.ndofs, bc)
     mask = jnp.asarray(bc_mask(W.ndofs, bc), dtype)
     g = jnp.asarray(g64, dtype)
-    return W, lp, mask, g, g64
+    if mg_levels <= 0:
+        return W, lp, mask, g, g64
+    from ..solve.mg import build_mg_hierarchy
+
+    hier = build_mg_hierarchy(
+        np.asarray(lp.pattern_like.row_ids),
+        np.asarray(lp.pattern_like.indices),
+        lp.n2d, lp.n_planes, bc_mask(W.ndofs, bc).astype(np.float32),
+        lp.bs, n_levels=mg_levels)
+    return W, lp, mask, g, g64, hier
 
 
 def solve_ns_flow(
@@ -221,20 +231,22 @@ def solve_ns_flow(
         "tetrahedron", nu=1.0 / Re, C_I=cfg.stab.C_I,
         transposed_stab=cfg.stab.transposed_advection_in_stab)
 
+    mg_lv = scfg.mg_levels if scfg.pc.startswith("mg") else 0
     if layered:
-        W_c, lp_c, mask_c, g_c, g64_c = _setup_layered(
-            mesh_c, inlet1, inlet2, dtype)
+        W_c, lp_c, mask_c, g_c, g64_c, *mg_c = _setup_layered(
+            mesh_c, inlet1, inlet2, dtype, mg_levels=mg_lv)
+        mg_c = mg_c[0] if mg_c else None
         t0 = time.time()
         sres = solve_linear_layered(
             stokes_k, lp_c.n2d, lp_c.n_planes, lp_c.bs, lp_c.arrays,
-            mask_c, g_c, lp_c.E, 1e-8, scfg.ksp_restart)
+            mask_c, g_c, lp_c.E, 1e-8, scfg.ksp_restart, scfg.pc, mg_c)
         timings["stokes"] = time.time() - t0
         t0 = time.time()
         nres_c = solve_newton_layered(
             ns_c, lp_c.n2d, lp_c.n_planes, lp_c.bs, lp_c.arrays,
             mask_c, g_c, sres.x, lp_c.E,
             scfg.newton_rtol, scfg.newton_atol, scfg.newton_max_it,
-            scfg.ksp_rtol, scfg.ksp_restart)
+            scfg.ksp_rtol, scfg.ksp_restart, 40, scfg.pc, mg_c)
         timings["coarse_ns"] = time.time() - t0
     else:
         W_c, asm_c, mask_c, g_c, g64_c = _setup(mesh_c, inlet1, inlet2, dtype)
@@ -257,7 +269,7 @@ def solve_ns_flow(
     # ---- fine mesh: NS from interpolated coarse ------------------------
     if abs(channel_mesh_size - coarse_lc) < 1e-12:
         mesh_f, W_f, w0_f = mesh_c, W_c, nres_c.x
-        setup_f = (lp_c, mask_c, g_c, g64_c) if layered else \
+        setup_f = (lp_c, mask_c, g_c, g64_c, mg_c) if layered else \
             (asm_c, mask_c, g_c, g64_c)
     else:
         t0 = time.time()
@@ -265,9 +277,10 @@ def solve_ns_flow(
             img_fname, channel_mesh_size, cfg, layered=layered)
         timings["fine_mesh"] = time.time() - t0
         if layered:
-            W_f, lp_f, mask_f, g_f, g64_f = _setup_layered(
-                mesh_f, inlet1, inlet2, dtype)
-            setup_f = (lp_f, mask_f, g_f, g64_f)
+            W_f, lp_f, mask_f, g_f, g64_f, *mg_f = _setup_layered(
+                mesh_f, inlet1, inlet2, dtype, mg_levels=mg_lv)
+            setup_f = (lp_f, mask_f, g_f, g64_f,
+                       mg_f[0] if mg_f else None)
         else:
             W_f, asm_f, mask_f, g_f, g64_f = _setup(
                 mesh_f, inlet1, inlet2, dtype)
@@ -282,12 +295,12 @@ def solve_ns_flow(
 
     t0 = time.time()
     if layered:
-        lp_f, mask_f, g_f, g64_f = setup_f
+        lp_f, mask_f, g_f, g64_f, mg_f = setup_f
         nres_f = solve_newton_layered(
             ns_f, lp_f.n2d, lp_f.n_planes, lp_f.bs, lp_f.arrays,
             mask_f, g_f, w0_f, lp_f.E,
             scfg.newton_rtol, scfg.newton_atol, scfg.newton_max_it,
-            scfg.ksp_rtol, scfg.ksp_restart)
+            scfg.ksp_rtol, scfg.ksp_restart, 40, scfg.pc, mg_f)
     else:
         asm_f, mask_f, g_f, g64_f = setup_f
         patf = asm_f.pattern
@@ -329,7 +342,8 @@ def solve_ns_flow(
                 lp_f.arrays, dfr.dfa, mask_f, g_df.hi, g_df.lo,
                 nres_f.x, n0, scfg.newton_rtol, scfg.newton_atol,
                 scfg.refine_max_it, scfg.refine_ksp_rtol,
-                scfg.ksp_restart, scfg.refine_ksp_max_restarts)
+                scfg.ksp_restart, scfg.refine_ksp_max_restarts,
+                scfg.pc, mg_f)
         else:
             rres = refine_newton_bcsr(
                 ns_f, kdf, asm_f.ndofs, patf.nnzb, patf.bs, patf.n_rows,

@@ -133,4 +133,9 @@ def duct_mesh(n_cross: int, n_axial: int, length: float = 4.0) -> SimplexMesh:
         },
         default=4,
     )
+    # box_tet numbers nodes x-major: node = l * n2d + i2d, so the duct is
+    # directly usable by the layered operator (assemble/layered.py) and
+    # its plane-sharded variant (parallel/layered_shard.py)
+    n2d = (n_cross + 1) * (n_cross + 1)
+    msh.layered = (n2d, n_axial + 1, np.ones(msh.n_nodes, bool))
     return msh

@@ -28,16 +28,28 @@ from .precond import block_jacobi, plane_gs_grouped, plane_gs_layered
 from .refine import RefineResult, refine_newton
 
 
-def _layered_pc(pc, arrays, n2d, n_planes, mask):
+def _layered_pc(pc, arrays, n2d, n_planes, mask, mg=None):
     """PC factory for the layered operator: values -> closure.
 
     'plane_gs' / 'plane_gs_bf16' -> per-plane Gauss-Seidel sweeps (4x
     fewer Krylov iterations than block-Jacobi at ~2 SpMV-equivalents per
     apply).  'plane_gs_grouped' relaxes 8 planes jointly: half the
     iterations again but ~3x the work per apply — wins only when scan
-    latency dominates (small cross-sections).
+    latency dominates (small cross-sections).  'mg' / 'mg_bf16' ->
+    aggregation multigrid V-cycle (solve/mg.py) — mesh-independent
+    iteration counts; requires the ``mg`` hierarchy argument.
     """
-    if pc in ("plane_gs", "plane_gs_bf16"):
+    if pc in ("mg", "mg_bf16"):
+        from .mg import make_mg_pc
+
+        assert mg is not None, "pc='mg' needs a build_mg_hierarchy result"
+        dt = jnp.bfloat16 if pc.endswith("bf16") else None
+
+        def make(values):
+            return make_mg_pc(
+                mg, values, arrays.cols, arrays.row_ids, arrays.diag_pos,
+                mask, n2d, n_planes, pc_dtype=dt)
+    elif pc in ("plane_gs", "plane_gs_bf16"):
         dt = jnp.bfloat16 if pc.endswith("bf16") else None
 
         def make(values):
@@ -131,6 +143,7 @@ def solve_linear_layered(
     rtol: float,
     restart: int,
     pc: str = "plane_gs",
+    mg=None,
 ) -> KrylovResult:
     """Affine form on the layered operator: FGMRES + node-block Jacobi."""
     ndofs = n2d * n_planes * bs
@@ -147,7 +160,7 @@ def solve_linear_layered(
         y = layered_matvec(arrays, n2d, n_planes, values, mask * x)
         return mask * y + (1.0 - mask) * x
 
-    M = _layered_pc(pc, arrays, n2d, n_planes, mask)(values)
+    M = _layered_pc(pc, arrays, n2d, n_planes, mask, mg)(values)
     return fgmres(A, b_bc, M=M, rtol=rtol, restart=restart, max_restarts=80)
 
 
@@ -169,6 +182,7 @@ def solve_newton_layered(
     ksp_restart: int = 50,
     ksp_max_restarts: int = 40,
     pc: str = "plane_gs",
+    mg=None,
 ) -> NewtonResult:
     """Newton on the layered (plane-structured) operator — the fast path
     for extruded channel meshes (see assemble/layered.py)."""
@@ -191,7 +205,7 @@ def solve_newton_layered(
             return mask * y + (1.0 - mask) * x
         return op
 
-    make_pc = _layered_pc(pc, arrays, n2d, n_planes, mask)
+    make_pc = _layered_pc(pc, arrays, n2d, n_planes, mask, mg)
 
     return newton_solve(
         residual, jac_values, make_op, make_pc, w0,
@@ -276,6 +290,7 @@ def refine_newton_layered(
     ksp_restart: int = 50,
     ksp_max_restarts: int = 8,
     pc: str = "plane_gs",
+    mg=None,
 ) -> RefineResult:
     """Iterative refinement on the layered fast path: df residual, f32
     Jacobian + FGMRES (see solve/refine.py)."""
@@ -292,7 +307,7 @@ def refine_newton_layered(
             return mask * y + (1.0 - mask) * x
         return op
 
-    make_pc = _layered_pc(pc, arrays, n2d, n_planes, mask)
+    make_pc = _layered_pc(pc, arrays, n2d, n_planes, mask, mg)
     return refine_newton(
         residual_df, jac_values, make_op, make_pc, x0, n0,
         rtol=rtol, atol=atol, max_it=max_it, ksp_rtol=ksp_rtol,

@@ -1,0 +1,86 @@
+"""Plane-sharded layered solver: 8-device agreement with single-device.
+
+VERDICT round-1 item 7 acceptance: an 8-virtual-device test matching the
+single-device layered solve to 1e-8 on a layered channel problem.  Uses
+the duct (plane-major by construction) so no image pipeline is needed.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from stabilized_navier_stokes_flow_fenicsx_tpu.assemble.layered import (
+    build_layered)
+from stabilized_navier_stokes_flow_fenicsx_tpu.fem.bc import (
+    DirichletBC, bc_mask, bc_vector, combine_bcs)
+from stabilized_navier_stokes_flow_fenicsx_tpu.fem.space import (
+    make_mixed_space)
+from stabilized_navier_stokes_flow_fenicsx_tpu.forms.navier_stokes import (
+    make_ns_sups_kernel)
+from stabilized_navier_stokes_flow_fenicsx_tpu.mesh.structured import (
+    duct_mesh)
+from stabilized_navier_stokes_flow_fenicsx_tpu.parallel.layered_shard import (
+    pad_mask_g, padded_planes, sharded_newton_layered)
+from stabilized_navier_stokes_flow_fenicsx_tpu.solve.driver import (
+    solve_newton_layered)
+from stabilized_navier_stokes_flow_fenicsx_tpu.utils.exact import (
+    square_duct_mean, square_duct_profile)
+
+
+def _duct_layered(n_cross=6, n_axial=13, Re=20.0):
+    mesh = duct_mesh(n_cross, n_axial, length=2.0)
+    W = make_mixed_space(mesh, 1, 1)
+    wall = mesh.nodes_with_marker(4)
+    inlet = mesh.nodes_with_marker(1)
+    outlet = mesh.nodes_with_marker(3)
+
+    def vdofs(nodes):
+        return np.stack(
+            [W.velocity_dof(nodes, c) for c in range(3)], -1).ravel()
+
+    iv = np.zeros((len(inlet), 3))
+    yz = mesh.points[inlet][:, 1:3]
+    iv[:, 0] = square_duct_profile(yz[:, 0], yz[:, 1]) / square_duct_mean()
+    bc = combine_bcs([
+        DirichletBC(vdofs(wall), np.zeros(3 * len(wall))),
+        DirichletBC(vdofs(inlet), iv.ravel()),
+        DirichletBC(W.pressure_dof(outlet), np.zeros(len(outlet))),
+    ])
+    mask = bc_mask(W.ndofs, bc).astype(np.float64)
+    g = bc_vector(W.ndofs, bc)
+    kern = make_ns_sups_kernel("tetrahedron", nu=1.0 / Re)
+    return mesh, W, mask, g, kern
+
+
+def test_plane_sharded_matches_single_device():
+    mesh, W, mask, g, kern = _duct_layered()
+    n2d, Lp, _ = mesh.layered
+
+    # single-device layered solve (reference)
+    lp1 = build_layered(W, n2d, Lp)
+    out1 = solve_newton_layered(
+        kern, lp1.n2d, lp1.n_planes, lp1.bs, lp1.arrays,
+        jnp.asarray(mask), jnp.asarray(g), jnp.asarray(g), lp1.E,
+        1e-12, 1e-12, 30, 1e-10, 50, 40, "jacobi", None)
+    assert bool(out1.converged)
+
+    # 8-device plane-sharded solve on the plane-padded problem
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest provides 8 virtual CPU devices"
+    dmesh = Mesh(np.array(devs[:8]), ("planes",))
+    Lp_pad = padded_planes(Lp, 8)
+    lp8 = build_layered(W, n2d, Lp_pad)
+    ndofs_pad = n2d * Lp_pad * lp8.bs
+    mask_p, g_p = pad_mask_g(mask, g, ndofs_pad)
+    out8 = sharded_newton_layered(
+        kern, lp8, mask_p, g_p, g_p, dmesh,
+        rtol=1e-12, atol=1e-12, max_it=30, ksp_rtol=1e-10)
+    assert bool(out8.converged)
+
+    x1 = np.asarray(out1.x)
+    x8 = np.asarray(out8.x)[: W.ndofs]
+    rel = np.linalg.norm(x8 - x1) / np.linalg.norm(x1)
+    assert rel < 1e-8, rel
+    # padded-plane dofs stayed at their identity value 0
+    assert np.abs(np.asarray(out8.x)[W.ndofs:]).max() == 0.0

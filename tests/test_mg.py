@@ -1,0 +1,70 @@
+"""Multigrid preconditioner: mesh-independence and correctness.
+
+VERDICT round-1 item 6: block-Jacobi/plane-GS Krylov counts grow ~1/h;
+the aggregation MG V-cycle (solve/mg.py) must hold them ~flat.  The
+reference's analogue is ASM robustness at 1e-8 tolerances
+(NavierStokes/NavierStokesChannelFlow.py:197-202).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from stabilized_navier_stokes_flow_fenicsx_tpu.config import DEFAULT
+from stabilized_navier_stokes_flow_fenicsx_tpu.flow.channel import (
+    _setup_layered, generate_channel_mesh)
+from stabilized_navier_stokes_flow_fenicsx_tpu.flow.inlet import (
+    solve_inlet_profiles)
+from stabilized_navier_stokes_flow_fenicsx_tpu.forms.stokes import (
+    make_stokes_kernel)
+from stabilized_navier_stokes_flow_fenicsx_tpu.solve.driver import (
+    solve_linear_layered)
+from stabilized_navier_stokes_flow_fenicsx_tpu.utils.testimg import (
+    make_annulus_image)
+
+
+@pytest.fixture(scope="module")
+def channel_image(tmp_path_factory):
+    img = str(tmp_path_factory.mktemp("mg") / "circle.png")
+    make_annulus_image(img, "circle")
+    return img
+
+
+def _solve(img, lc, pc):
+    inlet1, inlet2 = solve_inlet_profiles(img, 0.5, DEFAULT)
+    mesh, _, _ = generate_channel_mesh(img, lc, DEFAULT, layered=True)
+    mg_lv = 3 if pc == "mg" else 0
+    W, lp, mask, g, g64, *hier = _setup_layered(
+        mesh, inlet1, inlet2, mg_levels=mg_lv)
+    kern = make_stokes_kernel("tetrahedron", nu=1.0, mu_T_coeff=0.2)
+    res = solve_linear_layered(
+        kern, lp.n2d, lp.n_planes, lp.bs, lp.arrays, mask, g, lp.E,
+        1e-8, 50, pc, hier[0] if hier else None)
+    return res, np.asarray(res.x)
+
+
+def test_mg_iterations_near_flat(channel_image):
+    """Refining lc 0.15 -> 0.085 roughly doubles 1/h; MG iteration counts
+    must stay within 1.6x while plane-GS demonstrably grows faster."""
+    res_c, x_c = _solve(channel_image, 0.15, "mg")
+    res_f, x_f = _solve(channel_image, 0.085, "mg")
+    assert bool(res_c.converged) and bool(res_f.converged)
+    assert int(res_f.iters) <= 1.6 * int(res_c.iters), (
+        int(res_c.iters), int(res_f.iters))
+
+    pg_c, _ = _solve(channel_image, 0.15, "plane_gs")
+    pg_f, _ = _solve(channel_image, 0.085, "plane_gs")
+    # the growth MG removes is real on this problem
+    assert int(pg_f.iters) > 1.6 * int(pg_c.iters), (
+        int(pg_c.iters), int(pg_f.iters))
+    # and MG genuinely beats plane-GS at the finer size
+    assert int(res_f.iters) < int(pg_f.iters) / 3
+
+
+def test_mg_solution_matches_plane_gs(channel_image):
+    """Same linear system, two preconditioners, same converged answer."""
+    _, x_mg = _solve(channel_image, 0.15, "mg")
+    _, x_pg = _solve(channel_image, 0.15, "plane_gs")
+    rel = np.linalg.norm(x_mg - x_pg) / np.linalg.norm(x_pg)
+    assert rel < 1e-6, rel
