@@ -32,7 +32,13 @@ class DuctTHResult:
 
 
 def solve_duct_th(n_cross: int = 6, n_axial: int = 12, length: float = 2.0,
-                  inlet: str = "uniform") -> DuctTHResult:
+                  inlet: str = "uniform", method: str = "schur",
+                  rtol: float = 1e-10) -> DuctTHResult:
+    """method='schur': device-resident Schur-complement CG on the
+    symmetric saddle point (solve/stokes_th.py) — retires the
+    host-LU-only path (VERDICT round-1 item 9; reference MUMPS:
+    StokesFlow/DuctStokesFlow.py:213-216).
+    method='lu': host SuperLU (kept as the oracle)."""
     mesh = duct_mesh(n_cross, n_axial, length)
     W = make_mixed_space(mesh, 2, 1)          # Taylor-Hood
     asm = assembler_for_mixed(W)
@@ -58,17 +64,46 @@ def solve_duct_th(n_cross: int = 6, n_axial: int = 12, length: float = 2.0,
     vd_inlet = np.stack(
         [W.velocity_dof(sd_inlet, c) for c in range(3)], -1).ravel()
 
+    # NO pressure Dirichlet: the do-nothing outlet (free outlet velocity)
+    # fixes the pressure level naturally, exactly like the reference's
+    # formulation (DuctStokesFlow.py:156-183 constrains velocity only).
+    # Constraining a whole plane of pressures deletes those continuity
+    # equations and makes the saddle point singular (measured: one zero
+    # Schur eigenvalue and a 3e-3 residual floor even for direct LU).
     bc = combine_bcs([
         DirichletBC(vd_wall, np.zeros(len(vd_wall))),
         DirichletBC(vd_inlet, vals.ravel()),
-        DirichletBC(W.pressure_dof(outlet_nodes),
-                    np.zeros(len(outlet_nodes))),
     ])
     mask = jnp.asarray(bc_mask(W.ndofs, bc), asm.dtype)
     g = jnp.asarray(bc_vector(W.ndofs, bc), asm.dtype)
 
-    kern = make_stokes_th_kernel("tetrahedron", nu=1.0)
-    x = linear_host_lu(asm, kern, mask, g)
+    if method == "lu":
+        kern = make_stokes_th_kernel("tetrahedron", nu=1.0)
+        x = linear_host_lu(asm, kern, mask, g)
+    else:
+        from ..solve.stokes_th import solve_th_schur
+        from ..utils.linalg import det_small
+
+        kern = make_stokes_th_kernel(
+            "tetrahedron", nu=1.0, symmetric_signs=True)
+        values, _A_bc, b_bc, mask_ = asm.linear_system(kern, bc)
+        # velocity-component indicator + lumped P1 pressure mass
+        mv = np.ones(W.ndofs)
+        pd = np.asarray(W.pressure_dof(np.arange(mesh.n_nodes)))
+        mv[pd] = 0.0
+        coords = mesh.points[mesh.cells]
+        E = coords[:, 1:, :] - coords[:, :1, :]
+        vol = np.abs(np.asarray(
+            det_small(jnp.asarray(np.transpose(E, (0, 2, 1)))))) / 6.0
+        m_lump = np.zeros(mesh.n_nodes)
+        np.add.at(m_lump, mesh.cells.ravel(), np.repeat(vol / 4.0, 4))
+        mp_diag = np.zeros(W.ndofs)
+        mp_diag[pd] = m_lump
+        res = solve_th_schur(
+            asm.ndofs, asm.pattern.n_rows, asm.arrays, values, b_bc,
+            mask_, jnp.asarray(mv, mask_.dtype),
+            jnp.asarray(mp_diag, mask_.dtype), rtol=rtol)
+        x = np.asarray(res.x)
     u, p = W.split(x)
     return DuctTHResult(mesh, W, np.asarray(u), np.asarray(p),
                         W.V.dof_coords)

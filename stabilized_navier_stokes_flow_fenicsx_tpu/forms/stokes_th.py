@@ -25,7 +25,11 @@ def make_stokes_th_kernel(
     cell: str,
     nu: float = 1.0,
     qdeg: int = 3,
+    symmetric_signs: bool = False,
 ) -> Callable:
+    """symmetric_signs=True negates the continuity rows (same solution),
+    making the assembled matrix symmetric indefinite [[A, B], [B^T, 0]] —
+    the form the device MINRES solve needs (solve/krylov.py::minres)."""
     elem_v = element(cell, 2)
     elem_p = element(cell, 1)
     qr = quadrature(cell, qdeg)
@@ -55,8 +59,10 @@ def make_stokes_th_kernel(
         # + nu grad(u):grad(v) + p div(v)
         r_u = nu * jnp.einsum("q,qij,qaj->ai", wq, grad_u, g)
         r_u += jnp.einsum("q,q,qai->ai", wq, p_q, g)
-        # - div(u) q
+        # - div(u) q   (reference sign; negated when symmetric_signs)
         r_p = -jnp.einsum("q,q,qa->a", wq, div_u, phip)
+        if symmetric_signs:
+            r_p = -r_p
 
         return jnp.concatenate([r_u.reshape(-1), r_p]) * detJ
 

@@ -223,3 +223,74 @@ def fgmres(
         cond, body, (x0, jnp.array(0, jnp.int32), jnp.array(0, jnp.int32),
                      rn0))
     return KrylovResult(x, its, rn, rn <= tol)
+
+
+def minres(
+    A: Callable,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    M: Optional[Callable] = None,
+    rtol: float = 1e-8,
+    atol: float = 0.0,
+    max_it: int = 10000,
+) -> KrylovResult:
+    """Preconditioned MINRES (Paige-Saunders) for symmetric indefinite A.
+
+    M must be symmetric positive definite (e.g. the block-diagonal
+    diag(diag(A_uu), M_p) preconditioner for the Taylor-Hood saddle
+    point).  Replaces the reference's MUMPS direct solve for the
+    unstabilized P2-P1 system (reference StokesFlow/DuctStokesFlow.py:
+    213-216) with a device-resident iteration.
+    """
+    M = M or _ident
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r1 = b - A(x0)
+    y = M(r1)
+    beta1 = jnp.sqrt(jnp.vdot(r1, y))
+    tol = jnp.maximum(rtol * beta1, atol)
+    eps_t = jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype)
+
+    def cond(s):
+        (x, r1, r2, y, oldb, beta, dbar, epsln, phibar, cs, sn,
+         w, w2, it) = s
+        return (phibar > tol) & (it < max_it)
+
+    def body(s):
+        (x, r1, r2, y, oldb, beta, dbar, epsln, phibar, cs, sn,
+         w, w2, it) = s
+        v = y / jnp.maximum(beta, eps_t)
+        y2 = A(v)
+        y2 = jnp.where(it >= 1, y2 - (beta / jnp.maximum(oldb, eps_t)) * r1,
+                       y2)
+        alfa = jnp.vdot(v, y2)
+        y2 = y2 - (alfa / jnp.maximum(beta, eps_t)) * r2
+        r1n, r2n = r2, y2
+        yn = M(r2n)
+        oldbn = beta
+        betan = jnp.sqrt(jnp.maximum(jnp.vdot(r2n, yn), 0.0))
+        oldeps = epsln
+        delta = cs * dbar + sn * alfa
+        gbar = sn * dbar - cs * alfa
+        epsln_n = sn * betan
+        dbar_n = -cs * betan
+        gamma = jnp.maximum(jnp.sqrt(gbar**2 + betan**2), eps_t)
+        cs_n = gbar / gamma
+        sn_n = betan / gamma
+        phi = cs_n * phibar
+        phibar_n = sn_n * phibar
+        w1 = w2
+        w2n = w
+        wn = (v - oldeps * w1 - delta * w2n) / gamma
+        xn = x + phi * wn
+        return (xn, r1n, r2n, yn, oldbn, betan, dbar_n, epsln_n,
+                phibar_n, cs_n, sn_n, wn, w2n, it + 1)
+
+    zero = jnp.zeros_like(b)
+    one = jnp.ones((), b.dtype)
+    state = (x0, r1, r1, y, jnp.zeros((), b.dtype), beta1,
+             jnp.zeros((), b.dtype), jnp.zeros((), b.dtype), beta1,
+             -one, jnp.zeros((), b.dtype), zero, zero,
+             jnp.array(0, jnp.int32))
+    out = jax.lax.while_loop(cond, body, state)
+    x, phibar, it = out[0], out[8], out[13]
+    return KrylovResult(x, it, phibar, phibar <= tol)
