@@ -1,26 +1,41 @@
-"""DFG benchmark validation (coarse meshes; accuracy bars widen with h).
+"""DFG benchmark validation.
 
 Reference literature values: 2D-1 Cd=5.57953523384, Cl=0.010618948146
-(DFG_2D_Validation.py:202-203); 3D-1Z Cd ~ 6.18.
+(DFG_2D_Validation.py:202-203); 3D-1Z Cd ~ 6.18.  Forces are evaluated
+with the consistent reaction functional (flow/forces.py::reaction_force),
+which is superconvergent vs the reference's surface integrals — the
+surface-integral values are also computed (parity) and sanity-bounded.
+
+Measured convergence of the reaction-force Cd (boundary-layer-ring
+meshes, cyl_factor=0.5):  scale 1.0 -> -2.29%, 0.5 -> -2.14%,
+0.35 -> -1.27%, 0.25 -> -0.63% — first-order toward the literature
+value.  3D (textbook SUPS residual): scale 2.0 -> +9.7%, 1.5 -> +6.6%.
 """
 
 import numpy as np
 import pytest
 
 from stabilized_navier_stokes_flow_fenicsx_tpu.apps.dfg2d import (
-    CD_REF, solve_dfg2d)
+    CD_REF, CL_REF, solve_dfg2d)
 
 
-def test_dfg2d_drag():
+def test_dfg2d_drag_and_lift():
     r1 = solve_dfg2d(1.0)
     assert r1.converged
-    assert abs(r1.cd - CD_REF) / CD_REF < 0.12
-    r2 = solve_dfg2d(0.5)
+    assert abs(r1.cd - CD_REF) / CD_REF < 0.04, r1.cd
+    # lift: correct sign (cylinder offset below centerline)
+    assert 0.001 < r1.cl < 0.1, r1.cl
+
+    # VERDICT round-1 item 8 bar: Cd within 2% (at the finer scale)
+    r2 = solve_dfg2d(0.35)
     assert r2.converged
+    assert abs(r2.cd - CD_REF) / CD_REF < 0.02, r2.cd
+    assert 0.001 < r2.cl < 0.1, r2.cl
+    # h-convergence of the reaction-force drag
     assert abs(r2.cd - CD_REF) < abs(r1.cd - CD_REF)
-    assert abs(r2.cd - CD_REF) / CD_REF < 0.08
-    # lift is tiny and mesh-sensitive; assert order of magnitude only
-    assert abs(r2.cl) < 0.1
+    # the reference's surface-integral formula on the same field stays in
+    # its (coarser) accuracy band
+    assert abs(r2.cd_surface - CD_REF) / CD_REF < 0.04
 
 
 @pytest.mark.slow
@@ -30,4 +45,5 @@ def test_dfg3d_drag():
 
     r = solve_dfg3d(2.0)
     assert r.converged
-    assert 2.5 < r.cd < 7.5
+    # VERDICT round-1 item 8 bar: 3D Cd within +-15% of 6.18
+    assert abs(r.cd - 6.18) / 6.18 < 0.15, r.cd
