@@ -207,8 +207,17 @@ def make_mg_pc(
     n_planes: int,
     n_coarse_sweeps: int = 4,
     pc_dtype=None,
+    smoother: str = "plane_gs",
 ) -> Callable:
-    """V-cycle preconditioner closure r -> x for the layered operator."""
+    """V-cycle preconditioner closure r -> x for the layered operator.
+
+    smoother='plane_gs': strongest per-sweep reduction, but each sweep
+    is a sequential lax.scan over planes — ~77 dependent steps per level
+    at the production channel, so a V-cycle apply is LATENCY-bound
+    (~230 ms measured) regardless of problem size.  smoother='jacobi':
+    two damped (omega=0.7) node-block-Jacobi sweeps — one batched 4x4
+    matmul + SpMV each, fully parallel; more Krylov iterations but far
+    cheaper applies on TPU.  Measured trade: docs/ARCHITECTURE.md."""
     bs = values.shape[0]
     lv_vals = [_project_values(values, mask, cols, row_ids, n2d, n_planes)]
     lv_cols = [cols]
@@ -239,9 +248,6 @@ def make_mg_pc(
     matvecs = []
     for k in range(n_lv):
         nk, Lk, _ = lv_dims[k]
-        smoothers.append(plane_gs_layered(
-            lv_vals[k], lv_cols[k], lv_rows[k], lv_diag[k], lv_mask[k],
-            nk, Lk, pc_dtype=pc_dtype))
         arrs = _stub_arrays(lv_cols[k], lv_rows[k])
         Vk, mk = lv_vals[k], lv_mask[k]
 
@@ -249,6 +255,24 @@ def make_mg_pc(
             return mk * layered_matvec(arrs, nk, Lk, Vk, mk * x) \
                 + (1.0 - mk) * x
         matvecs.append(mv)
+
+        if smoother == "jacobi":
+            from .precond import block_jacobi
+
+            d = Vk[:, :, 1, lv_diag[k], :]          # (bs, bs, n2d, Lp)
+            blocks = d.transpose(3, 2, 0, 1).reshape(-1, bs, bs)
+            Dinv = block_jacobi(blocks.astype(jnp.float32),
+                                mk.astype(jnp.float32))
+            omega = 0.7
+
+            def sm(r, Dinv=Dinv, mvk=matvecs[k], omega=omega):
+                x = omega * Dinv(r)
+                return x + omega * Dinv(r - mvk(x))
+            smoothers.append(sm)
+        else:
+            smoothers.append(plane_gs_layered(
+                lv_vals[k], lv_cols[k], lv_rows[k], lv_diag[k],
+                lv_mask[k], nk, Lk, pc_dtype=pc_dtype))
 
     def restrict(k, r):
         # sum rows into aggregates (R = P^T for 0/1 prolongation)

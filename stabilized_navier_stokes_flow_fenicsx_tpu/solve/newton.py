@@ -56,7 +56,9 @@ def newton_solve(
     f0 = residual(x0)
     n0 = jnp.linalg.norm(f0)
     tol = jnp.maximum(rtol * n0, atol)
-    hist0 = jnp.full((max_it, 4), -1.0, x0.dtype)
+    # max(max_it, 1): a max_it=0 call (used to read ||F(x0)|| as resnorm)
+    # still traces body, whose hist.at[it] update needs a non-empty array
+    hist0 = jnp.full((max(max_it, 1), 4), -1.0, x0.dtype)
 
     def cond(s):
         x, fnorm, it, stalled, hist = s
