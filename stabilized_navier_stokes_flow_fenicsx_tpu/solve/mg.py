@@ -219,7 +219,12 @@ def make_mg_pc(
     matmul + SpMV each, fully parallel; more Krylov iterations but far
     cheaper applies on TPU.  Measured trade: docs/ARCHITECTURE.md."""
     bs = values.shape[0]
-    lv_vals = [_project_values(values, mask, cols, row_ids, n2d, n_planes)]
+    # level 0 keeps the RAW value tensor — every smoother/matvec below is
+    # already mask-composed (P A P + (I-P) via the mask multiplies), and
+    # a persistent projected copy of the fine values OOMed HBM at 1.05M
+    # dofs (measured: 17.53G > 15.75G).  Projection happens transiently
+    # inside the RAP only.
+    lv_vals = [values]
     lv_cols = [cols]
     lv_rows = [row_ids]
     lv_diag = [diag_pos]
@@ -227,12 +232,20 @@ def make_mg_pc(
     lv_dims = [(n2d, n_planes, values.shape[3])]
 
     for lev, (n_c, L_c, E_c) in zip(hierarchy.levels, hierarchy.dims):
-        Vf = lv_vals[-1]
+        nk, Lk, _ = lv_dims[-1]
+        Vf = _project_values(
+            lv_vals[-1], lv_mask[-1].astype(values.dtype), lv_cols[-1],
+            lv_rows[-1], nk, Lk)
         n_seg_c = 3 * E_c * L_c
-        Vc = jax.ops.segment_sum(
-            Vf.reshape(bs, bs, -1).transpose(2, 0, 1), lev.seg_map,
-            num_segments=n_seg_c + 1)[:n_seg_c]
-        Vc = Vc.transpose(1, 2, 0).reshape(bs, bs, 3, E_c, L_c)
+        # vmap the segment-sum over the 16 (i, j) block entries so the
+        # operand inside is 1-D (nnz,): a (nnz, 4, 4) operand gets a
+        # T(4,128) tiling on the tiny trailing dims — 32x padding, 10.3G
+        # of HLO temp at 1.05M dofs (measured compile OOM)
+        Vc = jax.vmap(
+            lambda v: jax.ops.segment_sum(
+                v, lev.seg_map, num_segments=n_seg_c + 1)[:n_seg_c]
+        )(Vf.reshape(bs * bs, -1))
+        Vc = Vc.reshape(bs, bs, 3, E_c, L_c)
         # re-project: aggregates can mix free/constrained dofs
         Vc = _project_values(Vc, lev.mask.astype(Vc.dtype), lev.cols,
                              lev.row_ids, n_c, L_c)
