@@ -96,3 +96,23 @@ def test_streamtrace_outlet(solution, img):
     assert np.abs(op.mean(axis=0)).max() < 0.03
     r = np.hypot(op[:, 0], op[:, 1])
     assert r.max() < 0.35
+
+
+def test_xdmf_time_series_roundtrip(solution, tmp_path):
+    from stabilized_navier_stokes_flow_fenicsx_tpu.io.xdmf import (
+        XdmfTimeSeries, read_xdmf_series)
+
+    sol, _ = solution
+    base = str(tmp_path / "series")
+    with XdmfTimeSeries(base, sol.mesh, "Velocity") as ts:
+        ts.append(sol.u, 0.0)
+        ts.append(2.0 * np.asarray(sol.u), 0.5)
+    mesh, vals, times = read_xdmf_series(base, "Velocity")
+    assert vals.shape[0] == 2 and mesh.n_nodes == sol.mesh.n_nodes
+    np.testing.assert_allclose(times, [0.0, 0.5])
+    np.testing.assert_allclose(vals[1], 2.0 * np.asarray(sol.u))
+    # the series file still serves as a step-0 checkpoint
+    from stabilized_navier_stokes_flow_fenicsx_tpu.io.xdmf import (
+        read_xdmf_function)
+    _, v0 = read_xdmf_function(base, "Velocity")
+    np.testing.assert_allclose(v0, np.asarray(sol.u))
