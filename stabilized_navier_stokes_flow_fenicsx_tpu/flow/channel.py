@@ -41,9 +41,10 @@ from ..mesh.core import SimplexMesh
 from ..mesh.extrude import extrude_channel
 from ..mesh.image import get_contours, load_image, optimize_contour
 from ..mesh.tri2d import triangulate_cross_section
-from ..solve.driver import (refine_newton_bcsr, refine_newton_layered,
-    solve_linear_bcsr, solve_linear_layered, solve_newton_bcsr,
-    solve_newton_layered)
+from ..solve.driver import (refine_newton_bcsr,
+    refine_newton_layered_stepped, solve_linear_bcsr,
+    solve_linear_layered, solve_newton_bcsr,
+    solve_newton_layered_stepped)
 from .inlet import InletProfile, solve_inlet_profiles
 
 
@@ -242,7 +243,7 @@ def solve_ns_flow(
             mask_c, g_c, lp_c.E, 1e-8, scfg.ksp_restart, scfg.pc, mg_c)
         timings["stokes"] = time.time() - t0
         t0 = time.time()
-        nres_c = solve_newton_layered(
+        nres_c = solve_newton_layered_stepped(
             ns_c, lp_c.n2d, lp_c.n_planes, lp_c.bs, lp_c.arrays,
             mask_c, g_c, sres.x, lp_c.E,
             scfg.newton_rtol, scfg.newton_atol, scfg.newton_max_it,
@@ -296,7 +297,7 @@ def solve_ns_flow(
     t0 = time.time()
     if layered:
         lp_f, mask_f, g_f, g64_f, mg_f = setup_f
-        nres_f = solve_newton_layered(
+        nres_f = solve_newton_layered_stepped(
             ns_f, lp_f.n2d, lp_f.n_planes, lp_f.bs, lp_f.arrays,
             mask_f, g_f, w0_f, lp_f.E,
             scfg.newton_rtol, scfg.newton_atol, scfg.newton_max_it,
@@ -337,7 +338,7 @@ def solve_ns_flow(
         n0 = jnp.linalg.norm(
             mask_f * r0 + (1.0 - mask_f) * (w0_f - g_f))
         if layered:
-            rres = refine_newton_layered(
+            rres = refine_newton_layered_stepped(
                 ns_f, kdf, lp_f.n2d, lp_f.n_planes, lp_f.bs, lp_f.E,
                 lp_f.arrays, dfr.dfa, mask_f, g_df.hi, g_df.lo,
                 nres_f.x, n0, scfg.newton_rtol, scfg.newton_atol,

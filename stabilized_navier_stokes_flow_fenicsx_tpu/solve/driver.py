@@ -292,6 +292,7 @@ def refine_newton_layered(
     ksp_max_restarts: int = 8,
     pc: str = "plane_gs",
     mg=None,
+    x0_lo=None,
 ) -> RefineResult:
     """Iterative refinement on the layered fast path: df residual, f32
     Jacobian + FGMRES (see solve/refine.py)."""
@@ -312,7 +313,8 @@ def refine_newton_layered(
     return refine_newton(
         residual_df, jac_values, make_op, make_pc, x0, n0,
         rtol=rtol, atol=atol, max_it=max_it, ksp_rtol=ksp_rtol,
-        ksp_restart=ksp_restart, ksp_max_restarts=ksp_max_restarts)
+        ksp_restart=ksp_restart, ksp_max_restarts=ksp_max_restarts,
+        x0_lo=x0_lo)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5) + tuple(range(13, 19)))
@@ -354,3 +356,86 @@ def refine_newton_bcsr(
         residual_df, jac_values, make_op, make_pc, x0, n0,
         rtol=rtol, atol=atol, max_it=max_it, ksp_rtol=ksp_rtol,
         ksp_restart=ksp_restart, ksp_max_restarts=ksp_max_restarts)
+
+
+def solve_newton_layered_stepped(
+    kernel, n2d, n_planes, bs, arrays, mask, g, w0, E,
+    rtol=1e-8, atol=1e-8, max_it=30, ksp_rtol=1e-8,
+    ksp_restart=50, ksp_max_restarts=40, pc="plane_gs", mg=None,
+):
+    """Host-stepped Newton: one max_it=1 device program per iteration.
+
+    The one-jit Newton (newton loop x FGMRES loop x V-cycle with scanned
+    smoothers) crashes the tunneled TPU compiler at scale; per-dispatch
+    stepping is the proven-safe shape at 1M+ dofs (bench.py) and costs
+    one ~ms host sync per Newton step.  SNES tolerance semantics are
+    preserved: tol = max(rtol*||F(w0)||, atol) fixed from the true
+    initial residual."""
+    import numpy as np
+
+    probe = solve_newton_layered(
+        kernel, n2d, n_planes, bs, arrays, mask, g, w0, E,
+        0.0, 0.0, 0, ksp_rtol, ksp_restart, ksp_max_restarts, pc, mg)
+    r0 = float(probe.resnorm)
+    tol = max(rtol * r0, atol)
+    w, rn, hist, stalled = w0, r0, [], False
+    its = 0
+    while its < max_it and rn > tol:
+        out = solve_newton_layered(
+            kernel, n2d, n_planes, bs, arrays, mask, g, w, E,
+            0.0, tol, 1, ksp_rtol, ksp_restart, ksp_max_restarts, pc, mg)
+        new_rn = float(out.resnorm)
+        hist.append(np.asarray(out.history)[0])
+        its += 1
+        stalled = bool(out.stalled)
+        w = out.x
+        if stalled:
+            break
+        if new_rn >= rn:          # f32 floor: keep the better iterate
+            stalled = True
+            break
+        rn = new_rn
+    hist_arr = jnp.asarray(np.stack(hist)) if hist else \
+        jnp.full((1, 4), -1.0, mask.dtype)
+    return NewtonResult(w, jnp.asarray(its), jnp.asarray(rn),
+                        jnp.asarray(rn <= tol), hist_arr, stalled)
+
+
+def refine_newton_layered_stepped(
+    kernel, kernel_df, n2d, n_planes, bs, E, arrays, dfa, mask,
+    g_hi, g_lo, x0, n0,
+    rtol=1e-8, atol=1e-8, max_it=10, ksp_rtol=1e-2,
+    ksp_restart=50, ksp_max_restarts=8, pc="plane_gs", mg=None,
+):
+    """Host-stepped double-float refinement (see
+    solve_newton_layered_stepped for why)."""
+    import numpy as np
+
+    x_hi = x0
+    x_lo = jnp.zeros_like(x0)
+    tol = max(rtol * float(n0), atol)
+    hist, rn, its = [], float("inf"), 0
+    converged = False
+    while its < max_it:
+        out = refine_newton_layered(
+            kernel, kernel_df, n2d, n_planes, bs, E, arrays, dfa,
+            mask, g_hi, g_lo, x_hi, n0, rtol, atol, 1, ksp_rtol,
+            ksp_restart, ksp_max_restarts, pc, mg, x_lo)
+        x_hi, x_lo = out.x_hi, out.x_lo
+        rn = float(out.resnorm)
+        hist.append(np.asarray(out.history)[0])
+        its += 1
+        if rn <= tol:
+            converged = True
+            break
+        if int(out.iters) == 0 or bool(out.resnorm != out.resnorm):
+            break                 # internal loop refused to move / NaN
+        # the internal body stops itself when a step fails to reduce
+        # ||F||; detect that via the history row's fnew >= resnorm
+        if np.asarray(out.history)[0, 0] >= 0 and \
+                float(np.asarray(out.history)[0, 0]) > rn:
+            break
+    hist_arr = jnp.asarray(np.stack(hist)) if hist else \
+        jnp.full((1, 3), -1.0, mask.dtype)
+    return RefineResult(x_hi, x_lo, jnp.asarray(its), jnp.asarray(rn),
+                        jnp.asarray(converged), hist_arr)

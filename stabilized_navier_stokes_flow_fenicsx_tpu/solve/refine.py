@@ -54,13 +54,15 @@ def refine_newton(
     ksp_rtol: float = 1e-2,
     ksp_restart: int = 50,
     ksp_max_restarts: int = 8,
+    x0_lo: jnp.ndarray = None,
 ) -> RefineResult:
     """Push ||F|| below max(rtol*n0, atol) with df residuals.
 
     SNES semantics: n0 is the residual norm at the start of the overall
     nonlinear solve, so rtol means the same thing it means to PETSc.
+    x0_lo: low word of a df iterate to resume from (stepped dispatch).
     """
-    x = DF(x0, jnp.zeros_like(x0))
+    x = DF(x0, jnp.zeros_like(x0) if x0_lo is None else x0_lo)
     F = residual_df(x)
     fnorm = df_norm(F)
     tol = jnp.maximum(rtol * n0, atol)
