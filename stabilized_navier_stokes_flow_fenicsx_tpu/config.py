@@ -96,10 +96,16 @@ class SolverConfig:
     refine_max_it: int = 10
     refine_ksp_rtol: float = 1e-2
     refine_ksp_max_restarts: int = 8
-    # layered-operator preconditioner (solve/driver.py::_layered_pc):
+    # layered-operator preconditioners (solve/driver.py::_layered_pc):
     # "mg" = aggregation multigrid V-cycle (mesh-independent iteration
     # counts, solve/mg.py), "plane_gs[_bf16]" = plane Gauss-Seidel.
+    # pc drives the LINEAR (Stokes) solves; pc_newton drives the Newton
+    # and refinement stages — newton programs embedding the
+    # plane-GS-smoothed V-cycle crash the tunneled TPU compiler at
+    # >~200k dofs (measured round 2), so the Newton default stays on
+    # the latency-cheap plane-GS.
     pc: str = "mg"
+    pc_newton: str = "plane_gs_bf16"
     mg_levels: int = 3
 
 

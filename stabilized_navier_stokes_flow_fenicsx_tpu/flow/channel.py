@@ -232,7 +232,8 @@ def solve_ns_flow(
         "tetrahedron", nu=1.0 / Re, C_I=cfg.stab.C_I,
         transposed_stab=cfg.stab.transposed_advection_in_stab)
 
-    mg_lv = scfg.mg_levels if scfg.pc.startswith("mg") else 0
+    mg_lv = scfg.mg_levels if (scfg.pc.startswith("mg")
+                               or scfg.pc_newton.startswith("mg")) else 0
     if layered:
         W_c, lp_c, mask_c, g_c, g64_c, *mg_c = _setup_layered(
             mesh_c, inlet1, inlet2, dtype, mg_levels=mg_lv)
@@ -247,7 +248,7 @@ def solve_ns_flow(
             ns_c, lp_c.n2d, lp_c.n_planes, lp_c.bs, lp_c.arrays,
             mask_c, g_c, sres.x, lp_c.E,
             scfg.newton_rtol, scfg.newton_atol, scfg.newton_max_it,
-            scfg.ksp_rtol, scfg.ksp_restart, 40, scfg.pc, mg_c)
+            scfg.ksp_rtol, scfg.ksp_restart, 40, scfg.pc_newton, mg_c)
         timings["coarse_ns"] = time.time() - t0
     else:
         W_c, asm_c, mask_c, g_c, g64_c = _setup(mesh_c, inlet1, inlet2, dtype)
@@ -301,7 +302,7 @@ def solve_ns_flow(
             ns_f, lp_f.n2d, lp_f.n_planes, lp_f.bs, lp_f.arrays,
             mask_f, g_f, w0_f, lp_f.E,
             scfg.newton_rtol, scfg.newton_atol, scfg.newton_max_it,
-            scfg.ksp_rtol, scfg.ksp_restart, 40, scfg.pc, mg_f)
+            scfg.ksp_rtol, scfg.ksp_restart, 40, scfg.pc_newton, mg_f)
     else:
         asm_f, mask_f, g_f, g64_f = setup_f
         patf = asm_f.pattern
@@ -344,7 +345,7 @@ def solve_ns_flow(
                 nres_f.x, n0, scfg.newton_rtol, scfg.newton_atol,
                 scfg.refine_max_it, scfg.refine_ksp_rtol,
                 scfg.ksp_restart, scfg.refine_ksp_max_restarts,
-                scfg.pc, mg_f)
+                scfg.pc_newton, mg_f)
         else:
             rres = refine_newton_bcsr(
                 ns_f, kdf, asm_f.ndofs, patf.nnzb, patf.bs, patf.n_rows,
