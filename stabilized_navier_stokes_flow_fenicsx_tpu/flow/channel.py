@@ -225,12 +225,24 @@ def solve_ns_flow(
     stokes_k = make_stokes_kernel(
         "tetrahedron", nu=1.0, mu_T_coeff=cfg.stab.stokes_mu_T_coeff)
     cRe = Re if coarse_Re is None else coarse_Re
-    ns_c = make_ns_sups_kernel(
-        "tetrahedron", nu=1.0 / cRe, C_I=cfg.stab.C_I,
-        transposed_stab=cfg.stab.transposed_advection_in_stab)
-    ns_f = make_ns_sups_kernel(
-        "tetrahedron", nu=1.0 / Re, C_I=cfg.stab.C_I,
-        transposed_stab=cfg.stab.transposed_advection_in_stab)
+
+    def ns_kernel(r):
+        return make_ns_sups_kernel(
+            "tetrahedron", nu=1.0 / r, C_I=cfg.stab.C_I,
+            transposed_stab=cfg.stab.transposed_advection_in_stab)
+
+    # Reynolds continuation on the coarse mesh: Newton straight from the
+    # Stokes init stalls above Re ~ 60 (measured: the reference's Re=70
+    # sweep configuration); a short geometric Re ladder keeps every rung
+    # inside Newton's basin at coarse-mesh cost.  The reference has no
+    # equivalent — its MUMPS-exact SNES absorbs more of the gap.
+    if cRe > 50:
+        n_rungs = int(np.ceil(np.log2(cRe / 25.0))) + 1
+        re_ladder = list(np.geomspace(25.0, cRe, n_rungs + 1)[1:])
+    else:
+        re_ladder = [cRe]
+    ns_c = ns_kernel(re_ladder[-1])
+    ns_f = ns_kernel(Re)
 
     mg_lv = scfg.mg_levels if (scfg.pc.startswith("mg")
                                or scfg.pc_newton.startswith("mg")) else 0
@@ -244,11 +256,16 @@ def solve_ns_flow(
             mask_c, g_c, lp_c.E, 1e-8, scfg.ksp_restart, scfg.pc, mg_c)
         timings["stokes"] = time.time() - t0
         t0 = time.time()
-        nres_c = solve_newton_layered_stepped(
-            ns_c, lp_c.n2d, lp_c.n_planes, lp_c.bs, lp_c.arrays,
-            mask_c, g_c, sres.x, lp_c.E,
-            scfg.newton_rtol, scfg.newton_atol, scfg.newton_max_it,
-            scfg.ksp_rtol, scfg.ksp_restart, 40, scfg.pc_newton, mg_c)
+        x_rung = sres.x
+        for r in re_ladder:
+            nres_c = solve_newton_layered_stepped(
+                ns_kernel(r) if r != re_ladder[-1] else ns_c,
+                lp_c.n2d, lp_c.n_planes, lp_c.bs, lp_c.arrays,
+                mask_c, g_c, x_rung, lp_c.E,
+                scfg.newton_rtol, scfg.newton_atol, scfg.newton_max_it,
+                scfg.ksp_rtol, scfg.ksp_restart, 40, scfg.pc_newton,
+                mg_c)
+            x_rung = nres_c.x
         timings["coarse_ns"] = time.time() - t0
     else:
         W_c, asm_c, mask_c, g_c, g64_c = _setup(mesh_c, inlet1, inlet2, dtype)
