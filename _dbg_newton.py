@@ -9,7 +9,7 @@ from stabilized_navier_stokes_flow_fenicsx_tpu.flow.inlet import solve_inlet_pro
 from stabilized_navier_stokes_flow_fenicsx_tpu.config import DEFAULT
 from stabilized_navier_stokes_flow_fenicsx_tpu.forms.navier_stokes import make_ns_sups_kernel
 from stabilized_navier_stokes_flow_fenicsx_tpu.forms.stokes import make_stokes_kernel
-from stabilized_navier_stokes_flow_fenicsx_tpu.solve.driver import solve_newton_layered, solve_linear_layered
+from stabilized_navier_stokes_flow_fenicsx_tpu.solve.driver import solve_newton_layered_stepped, solve_linear_layered
 
 lc = float(sys.argv[1]) if len(sys.argv) > 1 else 0.05
 pc = sys.argv[2] if len(sys.argv) > 2 else "mg_bf16"
@@ -25,8 +25,9 @@ sres = solve_linear_layered(stokes_k, lp.n2d, lp.n_planes, lp.bs,
 print(f"stokes: iters={int(sres.iters)} conv={bool(sres.converged)} res={float(sres.resnorm):.3e}", flush=True)
 kern = make_ns_sups_kernel("tetrahedron", nu=0.1)
 t0 = time.time()
-out = solve_newton_layered(kern, lp.n2d, lp.n_planes, lp.bs, lp.arrays,
-    mask, g, sres.x, lp.E, 1e-8, 0.0, 12, 1e-4, 50, 8, pc, hier)
+ksp_rtol = float(sys.argv[3]) if len(sys.argv) > 3 else 1e-5
+out = solve_newton_layered_stepped(kern, lp.n2d, lp.n_planes, lp.bs, lp.arrays,
+    mask, g, sres.x, lp.E, 1e-8, 1e-8, 12, ksp_rtol, 50, 8, pc, hier)
 rn = float(out.resnorm)
 h = np.asarray(out.history)
 print(f"newton({pc}): its={int(out.iters)} res={rn:.3e} conv={bool(out.converged)} t={time.time()-t0:.1f}s", flush=True)

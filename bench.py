@@ -151,6 +151,8 @@ def previous_round_value():
     for f in sorted(glob.glob("BENCH_r*.json")):
         try:
             d = json.load(open(f))
+            if isinstance(d, dict) and "parsed" in d:
+                d = d["parsed"]           # driver wraps the JSON line
             if isinstance(d, dict) and "value" in d:
                 best = float(d["value"])
         except Exception:

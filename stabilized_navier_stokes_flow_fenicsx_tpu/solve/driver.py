@@ -39,12 +39,15 @@ def _layered_pc(pc, arrays, n2d, n_planes, mask, mg=None):
     aggregation multigrid V-cycle (solve/mg.py) — mesh-independent
     iteration counts; requires the ``mg`` hierarchy argument.
     """
-    if pc in ("mg", "mg_bf16", "mg_jacobi", "mg_jacobi_bf16"):
+    if pc in ("mg", "mg_bf16", "mg_jacobi", "mg_jacobi_bf16",
+              "mg_grouped", "mg_grouped_bf16"):
         from .mg import make_mg_pc
 
         assert mg is not None, "pc='mg' needs a build_mg_hierarchy result"
         dt = jnp.bfloat16 if pc.endswith("bf16") else None
-        sm = "jacobi" if pc.startswith("mg_jacobi") else "plane_gs"
+        sm = ("jacobi" if pc.startswith("mg_jacobi")
+              else "grouped" if pc.startswith("mg_grouped")
+              else "plane_gs")
 
         def make(values):
             return make_mg_pc(

@@ -282,6 +282,15 @@ def make_mg_pc(
                 x = omega * Dinv(r)
                 return x + omega * Dinv(r - mvk(x))
             smoothers.append(sm)
+        elif smoother == "grouped":
+            # plane-GS strength at 1/8 the scan latency (G planes per
+            # scan step) — and a ~8x smaller XLA program, which is what
+            # lets this V-cycle compile inside Newton loops at scale
+            from .precond import plane_gs_grouped
+
+            smoothers.append(plane_gs_grouped(
+                lv_vals[k], lv_cols[k], lv_rows[k], lv_diag[k],
+                lv_mask[k], nk, Lk, group=8, pc_dtype=pc_dtype))
         else:
             smoothers.append(plane_gs_layered(
                 lv_vals[k], lv_cols[k], lv_rows[k], lv_diag[k],

@@ -81,3 +81,15 @@ def test_mg_jacobi_smoother(channel_image):
     assert rel < 1e-6, rel
     assert int(res.iters) <= 4 * int(mg_res.iters), (
         int(mg_res.iters), int(res.iters))
+
+
+def test_mg_grouped_smoother(channel_image):
+    """Grouped-plane-GS smoother: plane-GS-class strength at 1/8 the
+    scan latency (the variant that compiles inside Newton at scale)."""
+    mg_res, x_mg = _solve(channel_image, 0.15, "mg")
+    res, x = _solve(channel_image, 0.15, "mg_grouped")
+    assert bool(res.converged)
+    rel = np.linalg.norm(x - x_mg) / np.linalg.norm(x_mg)
+    assert rel < 1e-6, rel
+    assert int(res.iters) <= 2 * int(mg_res.iters), (
+        int(mg_res.iters), int(res.iters))
