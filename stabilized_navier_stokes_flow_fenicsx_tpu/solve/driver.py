@@ -391,13 +391,13 @@ def solve_newton_layered_stepped(
         hist.append(np.asarray(out.history)[0])
         its += 1
         stalled = bool(out.stalled)
+        if new_rn >= rn:          # f32 floor/stall: keep the BETTER
+            stalled = True        # iterate (out.x is the worse one —
+            break                 # the stall fallback took a full step)
         w = out.x
+        rn = new_rn
         if stalled:
             break
-        if new_rn >= rn:          # f32 floor: keep the better iterate
-            stalled = True
-            break
-        rn = new_rn
     hist_arr = jnp.asarray(np.stack(hist)) if hist else \
         jnp.full((1, 4), -1.0, mask.dtype)
     return NewtonResult(w, jnp.asarray(its), jnp.asarray(rn),
