@@ -76,3 +76,34 @@ def test_layered_channel_solution_matches(channel, tmp_path):
     err = np.abs(sol_l.u[used] - sol_b.u).max() \
         / (np.abs(sol_b.u).max() + 1e-30)
     assert err < 1e-9
+
+
+def test_stepped_newton_matches_monolithic(channel):
+    """solve_newton_layered_stepped (per-dispatch, the TPU-safe shape)
+    reaches the same solution as the one-jit Newton."""
+    from stabilized_navier_stokes_flow_fenicsx_tpu.solve.driver import (
+        solve_newton_layered, solve_newton_layered_stepped)
+    import jax.numpy as jnp
+
+    mesh = channel
+    n2d, n_planes, used = mesh.layered
+    W = make_mixed_space(mesh, 1, 1)
+    lp = build_layered(W, n2d, n_planes)
+    kern = make_ns_sups_kernel("tetrahedron", nu=0.5)
+    # mask: constrain boundary-ish dofs via a simple deterministic rule
+    rng = np.random.default_rng(7)
+    mask = jnp.asarray(
+        (rng.uniform(size=W.ndofs) > 0.2).astype(np.float64))
+    g = jnp.asarray(rng.normal(size=W.ndofs) * 0.05) * (1.0 - mask)
+    w0 = g
+
+    mono = solve_newton_layered(
+        kern, n2d, n_planes, lp.bs, lp.arrays, mask, g, w0, lp.E,
+        1e-10, 0.0, 8, 1e-8, 50, 40, "plane_gs")
+    step = solve_newton_layered_stepped(
+        kern, n2d, n_planes, lp.bs, lp.arrays, mask, g, w0, lp.E,
+        1e-10, 0.0, 8, 1e-8, 50, 40, "plane_gs")
+    assert bool(mono.converged) == bool(step.converged)
+    xm, xs = np.asarray(mono.x), np.asarray(step.x)
+    rel = np.linalg.norm(xm - xs) / max(np.linalg.norm(xm), 1e-30)
+    assert rel < 1e-6, rel
