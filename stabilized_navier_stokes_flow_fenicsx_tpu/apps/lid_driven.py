@@ -42,10 +42,13 @@ class CavityResult:
     newton_iters: int
     newton_resnorm: float
     converged: bool
-    # double-float refinement (solve/refine.py) on f32 backends:
+    # double-float refinement (solve/refine.py) on f32 backends.  When
+    # refined=True, ``converged`` reports the refined solve; the base
+    # f32 Newton flag is kept in ``base_converged``.
     refined: bool = False
     refine_resnorm: float = float("nan")
     w_lo: Optional[np.ndarray] = None
+    base_converged: bool = True
 
 
 def cavity_bcs(mesh, W: MixedVelocityPressureSpace) -> DirichletBC:
@@ -155,8 +158,9 @@ def solve_lid_driven(
         return CavityResult(
             mesh, W, w, np.asarray(u), np.asarray(p),
             int(nres.iters), float(nres.resnorm),
-            bool(nres.converged) or bool(rres.converged),
-            refined=True, refine_resnorm=float(rres.resnorm), w_lo=w_lo)
+            bool(rres.converged),
+            refined=True, refine_resnorm=float(rres.resnorm), w_lo=w_lo,
+            base_converged=bool(nres.converged))
 
     w = np.asarray(nres.x)
     u, p = W.split(w)

@@ -191,7 +191,7 @@ def layered_matvec_ell(
     fixed degree D the row reduction is a dense sum over the slot axis,
     which XLA fuses with the multiply — no contrib materialization, no
     sorted-segment pass.  Value padding D/avg_degree (~1.34x) is the only
-    overhead; measured against layered_matvec in _pallas_bench.py.
+    overhead; measured against layered_matvec in benchmarks/_pallas_bench.py.
     """
     n2d, D, Lp = ell.n2d, ell.D, ell.Lp
     xr = x.reshape(Lp, n2d, bs)

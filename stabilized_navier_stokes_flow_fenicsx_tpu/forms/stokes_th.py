@@ -28,8 +28,11 @@ def make_stokes_th_kernel(
     symmetric_signs: bool = False,
 ) -> Callable:
     """symmetric_signs=True negates the continuity rows (same solution),
-    making the assembled matrix symmetric indefinite [[A, B], [B^T, 0]] —
-    the form the device MINRES solve needs (solve/krylov.py::minres)."""
+    making the assembled matrix symmetric indefinite [[A, B], [B^T, 0]].
+    The production Taylor-Hood path solves the unsymmetric form with
+    fieldsplit FGMRES (solve/stokes_th.py); the symmetric form feeds the
+    documented MINRES alternative (solve/krylov.py::minres,
+    tests/test_taylor_hood.py) for SPD-preconditioned saddle points."""
     elem_v = element(cell, 2)
     elem_p = element(cell, 1)
     qr = quadrature(cell, qdeg)

@@ -66,7 +66,10 @@ def refine_newton(
     F = residual_df(x)
     fnorm = df_norm(F)
     tol = jnp.maximum(rtol * n0, atol)
-    hist0 = jnp.full((max_it, 3), -1.0, x0.dtype)
+    # max(max_it, 1): lax.while_loop traces the body even with trip
+    # count 0, and hist.at[it].set on a zero-length array fails (same
+    # guard as solve/newton.py hist0 — max_it=0 probe dispatches)
+    hist0 = jnp.full((max(max_it, 1), 3), -1.0, x0.dtype)
 
     def cond(s):
         x, F, fnorm, it, stalled, hist = s

@@ -41,3 +41,32 @@ def test_th_uniform_inlet_mass():
                 for i, j in ((0, 1), (1, 2), (0, 2))]
         flux += a / 3 * sum(r.u[m, 0] for m in mids)
     assert abs(flux - 1.0) < 0.03
+
+
+def test_minres_symmetric_indefinite():
+    """minres (the documented MINRES alternative to the fieldsplit
+    FGMRES production path) on a small symmetric indefinite saddle
+    point, with an SPD block-diagonal preconditioner."""
+    import jax.numpy as jnp
+
+    from stabilized_navier_stokes_flow_fenicsx_tpu.solve.krylov import minres
+
+    rng = np.random.default_rng(7)
+    n, m = 24, 8
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    A11 = Q @ np.diag(rng.uniform(1.0, 10.0, n)) @ Q.T     # SPD block
+    B = rng.standard_normal((n, m))
+    K = np.block([[A11, B], [B.T, np.zeros((m, m))]])      # indefinite
+    x_exact = rng.standard_normal(n + m)
+    b = K @ x_exact
+
+    Kj = jnp.asarray(K)
+    dinv = jnp.asarray(np.concatenate(
+        [1.0 / np.diag(A11), np.ones(m)]))                 # SPD PC
+
+    out = minres(lambda x: Kj @ x, jnp.asarray(b),
+                 M=lambda x: dinv * x, rtol=1e-10)
+    assert bool(out.converged), float(out.resnorm)
+    err = float(np.linalg.norm(np.asarray(out.x) - x_exact)
+                / np.linalg.norm(x_exact))
+    assert err < 1e-7, err
