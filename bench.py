@@ -3,20 +3,28 @@
 
 Matches the driver-defined metric (BASELINE.md): stabilized Navier-Stokes
 on the image-derived channel — per-iteration cost of the Newton loop
-(residual+Jacobian block-CSR assembly, node-block-Jacobi FGMRES) on one
-TPU chip.  Work per measured run is fixed (5 Newton iterations with a
-capped inner solve), so the number is comparable across rounds.
+(residual+Jacobian layered assembly, preconditioned FGMRES) on one TPU
+chip.  Work per measured headline run is fixed (5 Newton iterations with
+a capped inner solve), so the number is comparable across rounds.
 
-Prints exactly one JSON line:
+BUDGET-SAFE (VERDICT round-2 item 1): the whole script runs under a hard
+wall-clock budget (BENCH_BUDGET_S, default 1500 s).  The headline JSON
+line is printed the moment ``steady_s`` exists — a late kill cannot erase
+it — and the converged companion metric (MG Stokes init + stepped Newton
++ double-float refinement at the same mesh, BASELINE.md's actual metric)
+runs only in whatever budget remains, deadline-checked between every
+dispatch, with partial state flushed to stderr as it goes.  If the
+companion lands, an updated JSON line (same metric/value, extra keys) is
+printed.  vs_baseline is the speedup vs the newest recorded
+BENCH_r*.json value (round 1: 181.735 s).
+
+Prints one JSON line (twice if the companion completes):
   {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...}
-vs_baseline is the speedup vs the previous round's recorded BENCH_r*.json
-(1.0 in round 1 — the reference publishes no numbers, BASELINE.md).
 """
 
 import glob
 import json
 import os
-import re
 import sys
 import time
 
@@ -26,6 +34,50 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
+if os.environ.get("BENCH_CPU"):
+    # logic-testing escape hatch: the axon TPU backend is pinned by
+    # sitecustomize, so opting onto CPU needs a config update post-import
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+# One PC per phase (VERDICT round-2: no pc zoo).  Headline (capped inner
+# solves): the Jacobi-smoothed V-cycle — near-free applies, best
+# reduction-per-millisecond in the capped regime (round-2 measurement:
+# 21.7 s vs 51.7 plane_gs / 111.4 mg at 345k).  Converged companion:
+# the line-CR-smoothed SEMI-coarsened V-cycle — the only PC that is both
+# compile-safe at 1M dofs (log-depth, no scanned smoother: plane-GS
+# programs crash the tunneled compiler >300k) and strong on the
+# advective NS Jacobian (solve/mg.py, benchmarks/_line_cr_exp.py).
+HEADLINE_PC = "mg_jacobi_bf16"
+CONVERGED_PC = "mg_line_bf16"
+
+
+def _budget() -> float:
+    return float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+
+def _deadline() -> float:
+    return float(os.environ["BENCH_DEADLINE"])
+
+
+def _note(msg):
+    sys.stderr.write(msg.rstrip() + "\n")
+    sys.stderr.flush()
+
+
+def _mark_state(**kv):
+    path = os.environ.get("BENCH_STATE")
+    if not path:
+        return
+    try:
+        state = json.load(open(path)) if os.path.exists(path) else {}
+    except Exception:
+        state = {}
+    state.update(kv)
+    with open(path, "w") as f:
+        json.dump(state, f)
+
 
 def build_problem(lc: float):
     from stabilized_navier_stokes_flow_fenicsx_tpu.config import DEFAULT
@@ -33,6 +85,8 @@ def build_problem(lc: float):
         _setup_layered, generate_channel_mesh)
     from stabilized_navier_stokes_flow_fenicsx_tpu.flow.inlet import (
         solve_inlet_profiles)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.solve.mg import (
+        build_mg_hierarchy)
     from stabilized_navier_stokes_flow_fenicsx_tpu.utils.testimg import (
         make_annulus_image)
 
@@ -41,9 +95,15 @@ def build_problem(lc: float):
         make_annulus_image(img, "circle")
     inlet1, inlet2 = solve_inlet_profiles(img, 0.5, DEFAULT)
     mesh, _, _ = generate_channel_mesh(img, lc, DEFAULT, layered=True)
-    W, lp, mask, g, _g64, hier = _setup_layered(mesh, inlet1, inlet2,
-                                                mg_levels=3)
-    return mesh, W, lp, mask, g, hier
+    W, lp, mask, g, g64, hier = _setup_layered(mesh, inlet1, inlet2,
+                                               mg_levels=3)
+    # semi-coarsened (2D-only) hierarchy for the line-CR smoother
+    hier_semi = build_mg_hierarchy(
+        np.asarray(lp.pattern_like.row_ids),
+        np.asarray(lp.pattern_like.indices),
+        lp.n2d, lp.n_planes, np.asarray(mask, np.float32), lp.bs,
+        n_levels=3, coarsen_planes=False)
+    return mesh, W, lp, mask, g, g64, hier, hier_semi
 
 
 def run_bench(lc: float, newton_its: int = 5):
@@ -54,26 +114,28 @@ def run_bench(lc: float, newton_its: int = 5):
     from stabilized_navier_stokes_flow_fenicsx_tpu.solve.driver import (
         solve_newton_layered)
 
+    deadline = _deadline()
     t0 = time.time()
-    mesh, W, lp, mask, g, hier = build_problem(lc)
+    mesh, W, lp, mask, g, g64, hier, hier_semi = build_problem(lc)
     setup_s = time.time() - t0
+    _note(f"bench: setup {setup_s:.1f}s ndofs={W.ndofs} "
+          f"cells={mesh.n_cells}")
     kern = make_ns_sups_kernel("tetrahedron", nu=1.0 / 10.0)
 
+    def hier_of(pc):
+        return hier_semi if pc.startswith("mg_line") else hier
+
     def step(w, ksp_rtol, ksp_max_restarts, max_it=1, atol=0.0,
-             pc="mg_jacobi_bf16"):
+             pc=HEADLINE_PC):
         # one dispatch per Newton step (a single multi-minute XLA program
         # trips the tunneled device's watchdog at large sizes); inner
         # solves to ksp_rtol with a capped budget — better preconditioners
-        # genuinely reduce the measured time.  pc (all measured at 345k,
-        # 5 capped steps): mg_jacobi_bf16 21.7 s < plane_gs_bf16 51.7 s
-        # < mg_bf16 111.4 s at comparable residuals — the Jacobi-smoothed
-        # V-cycle is weak per apply but its applies are near-free, the
-        # best reduction-per-millisecond in the capped regime.
+        # genuinely reduce the measured time.
         return solve_newton_layered(
             kern, lp.n2d, lp.n_planes, lp.bs, lp.arrays,
             mask, g, w, lp.E,
             0.0, atol, max_it, ksp_rtol, 50, ksp_max_restarts,
-            pc, hier)
+            pc, hier_of(pc))
 
     def run5():
         w, out = g, None
@@ -87,51 +149,17 @@ def run_bench(lc: float, newton_its: int = 5):
     out = run5()                              # includes compile
     resnorm = float(out.resnorm)              # full sync through host read
     first_s = time.time() - t0
+    _note(f"bench: first run {first_s:.1f}s |F|={resnorm:.3e}")
     # shared-pool TPU: take the min of repeated runs to suppress
-    # multi-tenant contention noise
-    steady_s = float("inf")
+    # multi-tenant contention noise — but never past the deadline
+    steady_s = first_s
     for _ in range(3):
-        t0 = time.time()
+        if time.time() + 1.2 * steady_s > deadline - 90:
+            break
+        t1 = time.time()
         out = run5()
         resnorm = float(out.resnorm)
-        steady_s = min(steady_s, time.time() - t0)
-
-    # honest companion metric (VERDICT round-1): a CONVERGED solve to the
-    # demonstrated f32 floor (1e-6 relative), not fixed work — the
-    # production path: multigrid Stokes init, then Newton.  (Newton
-    # straight from the BC vector stalls at ~4e-2 relative — measured —
-    # which is exactly why the reference and flow/channel.py both
-    # continue from a Stokes solution.)
-    from stabilized_navier_stokes_flow_fenicsx_tpu.forms.stokes import (
-        make_stokes_kernel)
-    from stabilized_navier_stokes_flow_fenicsx_tpu.solve.driver import (
-        solve_linear_layered)
-
-    stokes_k = make_stokes_kernel("tetrahedron", nu=1.0, mu_T_coeff=0.2)
-    t0 = time.time()
-    sres = solve_linear_layered(
-        stokes_k, lp.n2d, lp.n_planes, lp.bs,
-        lp.arrays, mask, g, lp.E, 1e-6, 50, "mg_bf16", hier)
-    w = sres.x
-    r0 = float(step(w, 1e-3, 4, max_it=0).resnorm)   # ||F(x_stokes)||
-    # Newton descends to the f32 ABSOLUTE noise floor and then the line
-    # search collapses (measured: lambda halves each step near the
-    # floor) — report wherever it lands honestly; the double-float
-    # refinement path (flow/channel.py, refine="auto") is what continues
-    # below the floor in production.  pc: plane-GS here — the
-    # newton+mg-plane-GS program crashes the tunneled compiler at 1M
-    # dofs and the Jacobi-smoothed cycle can't reach ksp_rtol=1e-4.
-    conv_its, rn = 0, r0
-    while conv_its < 15 and rn > 1e-6 * r0:
-        outc = step(w, 1e-4, 8, atol=1e-6 * r0, pc="plane_gs_bf16")
-        new_rn = float(outc.resnorm)
-        if bool(outc.stalled) or new_rn >= rn:
-            rn = min(rn, new_rn)    # f32 floor: stop, report honestly
-            break
-        w = outc.x
-        rn = new_rn
-        conv_its += 1
-    conv_s = time.time() - t0
+        steady_s = min(steady_s, time.time() - t1)
     return {
         "ndofs": W.ndofs,
         "n_cells": mesh.n_cells,
@@ -140,10 +168,104 @@ def run_bench(lc: float, newton_its: int = 5):
         "steady_s": round(steady_s, 3),
         "newton_its": int(out.iters),
         "resnorm": resnorm,
-        "converged_solve_s": round(conv_s, 2),
-        "converged_newton_its": conv_its,
-        "converged_rel_resnorm": rn / r0,
-    }
+    }, (lp, mask, g, g64, hier, hier_semi, step, W)
+
+
+def run_converged(info, ctx):
+    """BASELINE.md's actual metric: a CONVERGED solve at this mesh — MG
+    Stokes init, stepped Newton to the f32 floor, then double-float
+    iterative refinement to the reference's 1e-8·n0 (the production path
+    of flow/channel.py).  Deadline-checked between every dispatch."""
+    import jax.numpy as jnp
+
+    from stabilized_navier_stokes_flow_fenicsx_tpu.assemble.df_assembly import (
+        DFResidual)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.forms.navier_stokes import (
+        make_ns_sups_kernel)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.forms.navier_stokes_df import (
+        make_ns_sups_kernel_df)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.forms.stokes import (
+        make_stokes_kernel)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.solve.driver import (
+        refine_newton_layered, solve_linear_layered)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.forms.navier_stokes_df import (
+        split64)
+
+    deadline = _deadline()
+    lp, mask, g, g64, hier, hier_semi, step, W = ctx
+    pc = CONVERGED_PC
+    hr = hier_semi if pc.startswith("mg_line") else hier
+
+    stokes_k = make_stokes_kernel("tetrahedron", nu=1.0, mu_T_coeff=0.2)
+    t0 = time.time()
+    sres = solve_linear_layered(
+        stokes_k, lp.n2d, lp.n_planes, lp.bs,
+        lp.arrays, mask, g, lp.E, 1e-6, 50, pc, hr)
+    w = sres.x
+    _note(f"conv: stokes {time.time() - t0:.1f}s its={int(sres.iters)}")
+    r0 = float(step(w, 1e-3, 4, max_it=0).resnorm)     # ||F(x_stokes)||
+    tol = 1e-8 * r0
+    info["converged_r0"] = r0
+    # f32 Newton descends to its absolute noise floor; the df refinement
+    # below continues to the reference tolerance.
+    its, rn = 0, r0
+    last_step_s = 0.0
+    while its < 15 and rn > 1e-6 * r0:
+        if time.time() + max(60.0, 1.3 * last_step_s) > deadline - 60:
+            _note("conv: newton deadline — stopping early")
+            break
+        t1 = time.time()
+        outc = step(w, 1e-4, 8, atol=1e-6 * r0, pc=pc)
+        last_step_s = time.time() - t1
+        new_rn = float(outc.resnorm)
+        _note(f"conv: newton it {its} |F|={new_rn:.3e} "
+              f"({last_step_s:.1f}s)")
+        if bool(outc.stalled) or new_rn >= rn:
+            rn = min(rn, new_rn)     # f32 floor: refinement takes over
+            break
+        w = outc.x
+        rn = new_rn
+        its += 1
+    info.update(converged_newton_its=its,
+                converged_rel_resnorm=rn / r0,
+                converged_solve_s=round(time.time() - t0, 2))
+    _mark_state(newton_done=True)
+
+    # double-float refinement to the reference's 1e-8 (stepped).
+    # Kernels hoisted out of the loop: the factories return fresh
+    # closures, and the jit'd drivers treat the kernel as a static
+    # argument — a new object per iteration would recompile every step.
+    ns_k = make_ns_sups_kernel("tetrahedron", nu=1.0 / 10.0)
+    kdf = make_ns_sups_kernel_df("tetrahedron", nu=1.0 / 10.0)
+    dfr = DFResidual(W, kdf)
+    g_df = split64(g64)
+    x_hi, x_lo = w, jnp.zeros_like(w)
+    ref_its, ref_rn = 0, rn
+    while ref_its < 8 and ref_rn > tol:
+        if time.time() + max(60.0, 1.3 * last_step_s) > deadline - 45:
+            _note("conv: refine deadline — stopping early")
+            break
+        t1 = time.time()
+        out = refine_newton_layered(
+            ns_k, kdf,
+            lp.n2d, lp.n_planes, lp.bs, lp.E, lp.arrays, dfr.dfa,
+            mask, g_df.hi, g_df.lo, x_hi, jnp.asarray(r0, x_hi.dtype),
+            1e-8, 0.0, 1, 1e-2, 50, 8, pc, hr, x_lo)
+        last_step_s = time.time() - t1
+        new_rn = float(out.resnorm)
+        _note(f"conv: refine it {ref_its} df|F|={new_rn:.3e} "
+              f"({last_step_s:.1f}s)")
+        if new_rn >= ref_rn or not np.isfinite(new_rn):
+            ref_rn = min(ref_rn, new_rn)
+            break
+        x_hi, x_lo = out.x_hi, out.x_lo
+        ref_rn = new_rn
+        ref_its += 1
+    info.update(refine_its=ref_its,
+                converged_rel_resnorm=ref_rn / r0,
+                converged_solve_s=round(time.time() - t0, 2),
+                converged=bool(ref_rn <= tol))
+    return info
 
 
 def previous_round_value():
@@ -153,56 +275,91 @@ def previous_round_value():
             d = json.load(open(f))
             if isinstance(d, dict) and "parsed" in d:
                 d = d["parsed"]           # driver wraps the JSON line
-            if isinstance(d, dict) and "value" in d:
+            if isinstance(d, dict) and d and "value" in d:
                 best = float(d["value"])
         except Exception:
             pass
     return best
 
 
-def _attempt(lc: float):
-    """Run one bench attempt in a subprocess: a failed TPU dispatch
-    (shared-pool device error) poisons the process-wide client, so each
-    attempt needs a fresh one."""
-    import subprocess
-
-    code = (
-        "import json, sys; sys.path.insert(0, %r); import bench; "
-        "print('BENCHJSON ' + json.dumps(bench.run_bench(%r)))"
-        % (os.path.dirname(os.path.abspath(__file__)), lc))
-    out = subprocess.run([sys.executable, "-c", code],
-                         capture_output=True, text=True, timeout=3000)
-    for line in out.stdout.splitlines():
-        if line.startswith("BENCHJSON "):
-            return json.loads(line[len("BENCHJSON "):])
-    raise RuntimeError(
-        f"attempt failed: {out.stderr.strip().splitlines()[-3:]}")
-
-
-def main():
-    lc = float(sys.argv[1]) if len(sys.argv) > 1 else 0.024
-    info = None
-    for try_lc in (lc, lc, 0.035):         # retry once, then shrink
-        try:
-            info = _attempt(try_lc)
-            break
-        except Exception as e:
-            sys.stderr.write(f"bench at lc={try_lc} failed ({e})\n")
-    if info is None:
-        info = run_bench(0.08)
+def emit(info):
     value = info["steady_s"]
     prev = previous_round_value()
     vs = round(prev / value, 3) if prev else 1.0
-    sys.stderr.write(json.dumps(info) + "\n")
-    print(json.dumps({
-        "metric": f"ns_channel_assembly_newton_5it_wallclock_{info['ndofs']}dofs",
+    line = {
+        "metric": ("ns_channel_assembly_newton_5it_wallclock_"
+                   f"{info['ndofs']}dofs"),
         "value": value,
         "unit": "s",
         "vs_baseline": vs,
-        "converged_solve_s": info.get("converged_solve_s"),
-        "converged_newton_its": info.get("converged_newton_its"),
-        "converged_rel_resnorm": info.get("converged_rel_resnorm"),
-    }))
+    }
+    for k in ("converged_solve_s", "converged_newton_its", "refine_its",
+              "converged_rel_resnorm", "converged"):
+        if k in info:
+            line[k] = info[k]
+    print(json.dumps(line), flush=True)
+    _mark_state(printed=True)
+    _note(json.dumps(info))
+
+
+def child(lc: float):
+    info, ctx = run_bench(lc)
+    emit(info)                          # headline is now on stdout
+    deadline = _deadline()
+    if time.time() + 180 > deadline:
+        _note("bench: no budget left for the converged companion")
+        return
+    try:
+        info = run_converged(info, ctx)
+        emit(info)                      # updated line with converged keys
+    except Exception as e:              # headline already printed
+        _note(f"bench: converged companion failed: {e!r}")
+
+
+def main():
+    import subprocess
+    import tempfile
+
+    args = [a for a in sys.argv[1:] if a != "--child"]
+    if "--child" in sys.argv[1:]:
+        child(float(args[0]))
+        return
+
+    t_start = time.time()
+    deadline = t_start + _budget()
+    lc0 = float(args[0]) if args else 0.024
+    state_file = tempfile.mktemp(prefix="bench_state_")
+    env = dict(os.environ,
+               BENCH_DEADLINE=str(deadline - 10),
+               BENCH_STATE=state_file)
+    for try_lc in (lc0, 0.035):
+        remaining = deadline - time.time() - 5
+        if remaining < 120:
+            break
+        try:
+            # child inherits stdout: its headline JSON line reaches the
+            # driver the moment it is printed, kill-proof.  A failed TPU
+            # dispatch poisons the process-wide client, so each attempt
+            # gets a fresh process.
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 str(try_lc)],
+                env=env, timeout=remaining, cwd=os.path.dirname(
+                    os.path.abspath(__file__)) or ".")
+        except subprocess.TimeoutExpired:
+            pass
+        try:
+            state = json.load(open(state_file))
+        except Exception:
+            state = {}
+        if state.get("printed"):
+            return                      # headline (at least) is on stdout
+        _note(f"bench: attempt at lc={try_lc} produced no headline; "
+              "falling back")
+    # last resort: tiny in-process run so the round records SOMETHING
+    os.environ["BENCH_DEADLINE"] = str(time.time() + 600)
+    info, _ctx = run_bench(0.08)
+    emit(info)
 
 
 if __name__ == "__main__":

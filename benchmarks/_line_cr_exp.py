@@ -50,6 +50,21 @@ def main():
     mesh, _, _ = generate_channel_mesh(img, lc, DEFAULT, layered=True)
     W, lp, mask, g, g64, hier = _setup_layered(mesh, inlet1, inlet2,
                                                mg_levels=3)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.fem.bc import (  # noqa
+        bc_mask)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.solve.mg import (
+        build_mg_hierarchy)
+
+    hier_semi = build_mg_hierarchy(
+        np.asarray(lp.pattern_like.row_ids),
+        np.asarray(lp.pattern_like.indices),
+        lp.n2d, lp.n_planes, np.asarray(mask, np.float32), lp.bs,
+        n_levels=3, coarsen_planes=False)
+
+    def pick(pc):
+        if pc.endswith("_semi"):
+            return pc[:-5], hier_semi
+        return pc, hier
     print(f"lc={lc} ndofs={W.ndofs} n2d={lp.n2d} Lp={lp.n_planes}")
 
     stokes_k = make_stokes_kernel("tetrahedron", nu=1.0, mu_T_coeff=0.2)
@@ -72,10 +87,11 @@ def main():
     ).split(",")
     print("--- Stokes, rtol 1e-8 ---")
     for pc in pcs:
+        pcn, h = pick(pc)
         t0 = time.time()
         res = solve_linear_layered(
             stokes_k, lp.n2d, lp.n_planes, lp.bs, lp.arrays, mask, g,
-            lp.E, 1e-8, 50, pc, hier)
+            lp.E, 1e-8, 50, pcn, h)
         it = int(res.iters)
         print(f"{pc:12s} iters={it:5d} conv={bool(res.converged)} "
               f"t={time.time() - t0:.1f}s")
@@ -84,14 +100,16 @@ def main():
         lp.E, 1e-8, 50, "mg", hier).x
 
     # (c) one NS Newton step from the Stokes init at Re=50
-    ns_k = make_ns_sups_kernel("tetrahedron", nu=1.0 / 50.0)
-    print("--- NS Jacobian (1 Newton step from Stokes init), "
+    Re = float(os.environ.get("RE", "50"))
+    ns_k = make_ns_sups_kernel("tetrahedron", nu=1.0 / Re)
+    print(f"--- NS Jacobian Re={Re} (1 Newton step from Stokes init), "
           "ksp_rtol 1e-5 ---")
     for pc in pcs:
+        pcn, h = pick(pc)
         t0 = time.time()
         out = solve_newton_layered(
             ns_k, lp.n2d, lp.n_planes, lp.bs, lp.arrays, mask, g,
-            x_stokes, lp.E, 0.0, 0.0, 1, 1e-5, 50, 40, pc, hier)
+            x_stokes, lp.E, 0.0, 0.0, 1, 1e-5, 50, 40, pcn, h)
         h = np.asarray(out.history)[0]
         print(f"{pc:12s} ksp_iters={int(h[2]):5d} ksp_rn={h[3]:.2e} "
               f"|F|={float(out.resnorm):.3e} t={time.time() - t0:.1f}s")

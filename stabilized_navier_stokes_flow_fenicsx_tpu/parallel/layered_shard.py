@@ -1,19 +1,24 @@
 """Plane-sharded layered operator: the flagship fast path on a device mesh.
 
-VERDICT round-1 item 7: the layered operator (assemble/layered.py) was
-single-chip only; the generic sharded Newton (parallel/shard.py) covers
-block-CSR with replicated vectors.  Here the *plane* axis of the extruded
+VERDICT round-1 item 7 / round-2 item 4: the *plane* axis of the extruded
 channel becomes the device-mesh axis:
 
 * dof vectors are row-partitioned — each device owns a contiguous block
   of planes (no replication, the memory axis that matters at 10^6+ dofs);
 * the value tensor (bs, bs, 3, E, Lp) is sharded on its plane axis;
-* the tridiagonal plane coupling means the SpMV's shifted reads touch
-  exactly ONE neighbouring plane per direction — XLA lowers the shifted
-  concatenation to nearest-neighbour collective-permutes over ICI, the
-  ppermute halo exchange of the design (TODO round-1), without hand-written
-  collectives (the scaling-book recipe: annotate shardings, let XLA insert
-  the collectives);
+* CELL ARRAYS ARE SLAB-PARTITIONED (round-2 item 4): each device holds
+  only the ~nc/D cells whose base plane lies in its slab, with dof and
+  scatter ids rewritten to slab-local numbering (``build_slab_layered``).
+  Assembly runs inside ``shard_map`` — each device assembles its own
+  cells into a (Lq+1)-plane local block and the one boundary plane of
+  rows is pushed to the next device with a single ``lax.ppermute``
+  (cells touch exactly plane lb and lb+1, so the halo is one plane in
+  one direction).  Element FLOPs and cell-array memory now divide by
+  the device count.
+* the SpMV's shifted reads touch exactly ONE neighbouring plane per
+  direction — XLA lowers the shifted concatenation to nearest-neighbour
+  collective-permutes over ICI (the scaling-book recipe: annotate
+  shardings, let XLA insert the collectives);
 * Krylov dot products/norms become psums automatically.
 
 This replaces the reference's MPI domain decomposition along the channel
@@ -21,10 +26,7 @@ This replaces the reference's MPI domain decomposition along the channel
 extruded channel partitions naturally into plane slabs).
 
 Plane padding: Lp is rounded up to a multiple of the device count; padded
-planes are Dirichlet identity rows (mask 0, g 0) that never couple back —
-``pad_planes_setup`` prepares the padded mask/g and the build uses
-``build_layered(space, n2d, Lp_pad)``, whose segment layout simply gains
-zero-valued tail planes.
+planes are Dirichlet identity rows (mask 0, g 0) that never couple back.
 
 The preconditioner is node-block Jacobi (purely local).  The sequential
 plane-GS/MG smoothers would serialize across devices; a sharded MG is
@@ -34,16 +36,15 @@ future work (additive plane-block variant).
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..assemble.assembly import AsmArrays, residual_of
 from ..assemble.layered import (LayeredArrays, layered_diag_blocks,
-                                layered_matvec, matrix_values_layered)
+                                layered_matvec)
 from ..solve.newton import NewtonResult, newton_solve
 from ..solve.precond import block_jacobi
 
@@ -61,30 +62,174 @@ def pad_mask_g(mask_np: np.ndarray, g_np: np.ndarray, ndofs_pad: int):
             np.concatenate([g_np, np.zeros(pad, g_np.dtype)]))
 
 
+class SlabArrays(NamedTuple):
+    """Per-device slab-partitioned cell data (a pytree).
+
+    Stacked (D*ncs, ...) with device d owning rows [d*ncs, (d+1)*ncs);
+    dof/segment ids are SLAB-LOCAL: dofs index the (Lq+1)-plane extended
+    block [own slab planes + next slab's first plane], segments index the
+    (Lq+1)-plane local value tensor.  Trash rows (count padding) point at
+    the local trash dof/segment.
+    """
+
+    cell_dofs: jnp.ndarray       # (D*ncs, ndl) slab-local dof ids
+    cell_coords: jnp.ndarray     # (D*ncs, nv, 3)
+    ell_pos: jnp.ndarray         # (D*ncs, nbl, nbl) slab-local seg ids
+
+
+def build_slab_layered(lp, n_devices: int):
+    """Host-side slab partition of the layered cell arrays.
+
+    Each cell spans planes (lb, lb+1); it is assigned to the slab owning
+    lb, so a device's cells scatter rows only into its own planes plus
+    the FIRST plane of the next slab (the one-plane halo ppermute in
+    ``_slab_residual``/``_slab_values``).  Returns (SlabArrays, meta)
+    where meta carries the per-device true cell counts — the
+    work-division measurement VERDICT round-2 item 4 asks for.
+    """
+    from ..assemble.assembly import ASM_CHUNK
+
+    D = int(n_devices)
+    Lp, n2d, bs, E = lp.n_planes, lp.n2d, lp.bs, lp.E
+    assert Lp % D == 0, (Lp, D)
+    Lq = Lp // D
+    ndofs = lp.ndofs
+    cd = np.asarray(lp.arrays.cell_dofs)
+    cc = np.asarray(lp.arrays.cell_coords)
+    ep = np.asarray(lp.arrays.ell_pos)
+    real = cd[:, 0] < ndofs              # drop ASM_CHUNK trash cells
+    cd, cc, ep = cd[real], cc[real], ep[real]
+    lb = (cd.min(axis=1) // bs) // n2d   # base plane of each cell
+    s_of = np.minimum(lb // Lq, D - 1)
+    counts = np.bincount(s_of, minlength=D)
+    ncs = int(counts.max())
+    if ncs > ASM_CHUNK:                  # residual_of's scan chunking
+        ncs = -(-ncs // ASM_CHUNK) * ASM_CHUNK
+    ndofs_ext = (Lq + 1) * n2d * bs
+    nseg_ext = 3 * E * (Lq + 1)
+    ndl = cd.shape[1]
+    out_cd = np.full((D, ncs, ndl), ndofs_ext, np.int32)
+    out_cc = np.broadcast_to(cc[0], (D, ncs) + cc.shape[1:]).copy()
+    out_ep = np.full((D, ncs) + ep.shape[1:], nseg_ext, np.int32)
+    for s in range(D):
+        m = s_of == s
+        k = int(counts[s])
+        out_cd[s, :k] = cd[m] - s * Lq * n2d * bs
+        out_cc[s, :k] = cc[m]
+        l_row = ep[m] % Lp
+        de = ep[m] // Lp
+        out_ep[s, :k] = de * (Lq + 1) + (l_row - s * Lq)
+    slab = SlabArrays(
+        cell_dofs=jnp.asarray(out_cd.reshape(D * ncs, ndl)),
+        cell_coords=jnp.asarray(out_cc.reshape((D * ncs,) + cc.shape[1:]),
+                                cc.dtype),
+        ell_pos=jnp.asarray(out_ep.reshape((D * ncs,) + ep.shape[1:])))
+    meta = dict(Lq=Lq, ncs=ncs, counts=counts, ndofs_ext=ndofs_ext,
+                nseg_ext=nseg_ext)
+    return slab, meta
+
+
+def _fetch_next_plane(w_local, n2d_bs, axis, D):
+    """Halo fetch: next device's first plane (last device reads zeros)."""
+    first = w_local[:n2d_bs]
+    return jax.lax.ppermute(first, axis,
+                            [(i + 1, i) for i in range(D - 1)])
+
+
+def _push_top_plane(top, axis, D):
+    """Halo push: this device's extra top plane of row sums goes to the
+    next device (device 0 receives zeros)."""
+    return jax.lax.ppermute(top, axis, [(i, i + 1) for i in range(D - 1)])
+
+
+def make_slab_assembly(kernel, n2d, Lq, bs, E, device_mesh: Mesh,
+                       axis: str):
+    """(residual_fn, values_fn) with slab-sharded element work.
+
+    residual_fn(slab, w) -> plane-sharded global residual;
+    values_fn(slab, w)   -> plane-sharded (bs, bs, 3, E, Lp) values.
+    Both run the per-cell kernels inside shard_map over the cells each
+    device owns, then reconcile the single boundary plane with ppermute.
+    """
+    from ..assemble.assembly import (AsmArrays, assemble_jacobian_chunked,
+                                     residual_of)
+
+    D = device_mesh.shape[axis]
+    nb = n2d * bs
+    ndofs_ext = (Lq + 1) * nb
+    nseg_ext = 3 * E * (Lq + 1)
+    z32 = jnp.zeros(0, jnp.int32)
+
+    def _arrs(cd, cc, ep):
+        return AsmArrays(cell_dofs=cd, cell_coords=cc, indices=z32,
+                         row_ids=z32, ell_pos=ep, diag_pos=z32)
+
+    @partial(jax.shard_map, mesh=device_mesh,
+             in_specs=(SlabArrays(P(axis), P(axis), P(axis)), P(axis)),
+             out_specs=P(axis), check_vma=False)
+    def residual_fn(slab, w_local):
+        w_ext = jnp.concatenate(
+            [w_local, _fetch_next_plane(w_local, nb, axis, D)])
+        r_ext = residual_of(kernel, ndofs_ext,
+                            _arrs(slab.cell_dofs, slab.cell_coords,
+                                  slab.ell_pos), w_ext)
+        recv = _push_top_plane(r_ext[Lq * nb:], axis, D)
+        return r_ext[:Lq * nb].at[:nb].add(recv)
+
+    @partial(jax.shard_map, mesh=device_mesh,
+             in_specs=(SlabArrays(P(axis), P(axis), P(axis)), P(axis)),
+             out_specs=P(None, None, None, None, axis), check_vma=False)
+    def values_fn(slab, w_local):
+        w_ext = jnp.concatenate(
+            [w_local, _fetch_next_plane(w_local, nb, axis, D)])
+        V_ext = assemble_jacobian_chunked(
+            kernel, nseg_ext, bs,
+            _arrs(slab.cell_dofs, slab.cell_coords, slab.ell_pos), w_ext)
+        V_ext = V_ext.reshape(bs * bs, 3 * E, Lq + 1)
+        recv = _push_top_plane(V_ext[:, :, Lq], axis, D)
+        V = V_ext[:, :, :Lq].at[:, :, 0].add(recv)
+        return V.reshape(bs, bs, 3, E, Lq)
+
+    return residual_fn, values_fn
+
+
 def shard_layered_inputs(lp, mask, g, w0, device_mesh: Mesh,
                          axis: str = "planes"):
     """device_put the problem onto the mesh: vectors plane-partitioned,
-    cell data replicated (element work is duplicated for now — the value
-    tensor and every solver vector, the memory that scales, are sharded)."""
+    cell data SLAB-partitioned (build_slab_layered — element work and
+    cell-array memory divide by the device count), the small 2D pattern
+    arrays replicated."""
     xs = NamedSharding(device_mesh, P(axis))
     repl = NamedSharding(device_mesh, P())
-    arrays = LayeredArrays(*(jax.device_put(a, repl) for a in lp.arrays))
-    return arrays, (jax.device_put(jnp.asarray(mask), xs),
-                    jax.device_put(jnp.asarray(g), xs),
-                    jax.device_put(jnp.asarray(w0), xs))
+    cs = NamedSharding(device_mesh, P(axis))
+    slab, meta = build_slab_layered(lp, device_mesh.shape[axis])
+    slab = SlabArrays(*(jax.device_put(a, cs) for a in slab))
+    # only the small 2D pattern arrays are replicated; the global cell
+    # arrays are NOT shipped (slab holds the partitioned copies)
+    z = jnp.zeros(0, jnp.int32)
+    arrays = LayeredArrays(
+        cell_dofs=z, cell_coords=z, ell_pos=z,
+        cols=jax.device_put(lp.arrays.cols, repl),
+        row_ids=jax.device_put(lp.arrays.row_ids, repl),
+        diag_pos=jax.device_put(lp.arrays.diag_pos, repl))
+    return arrays, slab, meta, (jax.device_put(jnp.asarray(mask), xs),
+                                jax.device_put(jnp.asarray(g), xs),
+                                jax.device_put(jnp.asarray(w0), xs))
 
 
 @partial(jax.jit,
-         static_argnums=(0, 1, 2, 3, 4, 5, 6) + tuple(range(11, 17)))
+         static_argnums=(0, 1, 2, 3, 4, 5, 6, 7) + tuple(range(13, 19)))
 def _sharded_newton_layered(
     kernel: Callable,
     n2d: int,
     n_planes: int,                # padded: multiple of the device count
     bs: int,
     E: int,
+    Lq: int,                      # planes per device
     device_mesh: Mesh,            # hashable -> static
     axis: str,
-    arrays: LayeredArrays,
+    arrays: LayeredArrays,        # pattern arrays only (cols/rows/diag)
+    slab: SlabArrays,             # slab-partitioned cell data
     mask: jnp.ndarray,
     g: jnp.ndarray,
     w0: jnp.ndarray,
@@ -95,23 +240,17 @@ def _sharded_newton_layered(
     ksp_restart: int = 50,
     ksp_max_restarts: int = 40,
 ) -> NewtonResult:
-    ndofs = n2d * n_planes * bs
     xs = NamedSharding(device_mesh, P(axis))
-    vs = NamedSharding(device_mesh, P(None, None, None, None, axis))
     ds = NamedSharding(device_mesh, P(axis, None, None))
-    asm_arrays = AsmArrays(
-        cell_dofs=arrays.cell_dofs, cell_coords=arrays.cell_coords,
-        indices=arrays.cols, row_ids=arrays.row_ids,
-        ell_pos=arrays.ell_pos, diag_pos=arrays.diag_pos)
+    residual_fn, values_fn = make_slab_assembly(
+        kernel, n2d, Lq, bs, E, device_mesh, axis)
 
     def residual(w):
-        r = jax.lax.with_sharding_constraint(
-            residual_of(kernel, ndofs, asm_arrays, w), xs)
+        r = jax.lax.with_sharding_constraint(residual_fn(slab, w), xs)
         return mask * r + (1.0 - mask) * (w - g)
 
     def jac_values(w):
-        V = matrix_values_layered(kernel, E, n_planes, bs, arrays, w)
-        return jax.lax.with_sharding_constraint(V, vs)
+        return values_fn(slab, w)
 
     def make_op(values):
         def op(x):
@@ -141,15 +280,17 @@ def sharded_newton_layered(
     axis: str = "planes",
     **tols,
 ) -> NewtonResult:
-    """Plane-sharded Newton solve on the layered operator.
+    """Plane-sharded Newton solve on the layered operator with
+    slab-partitioned element work (each device assembles only its ~nc/D
+    cells; one-plane ppermute halo).
 
     ``lp.n_planes`` must be a multiple of ``device_mesh.shape[axis]``
     (use build_layered(space, n2d, padded_planes(Lp, D)) + pad_mask_g).
     """
     D = device_mesh.shape[axis]
     assert lp.n_planes % D == 0, (lp.n_planes, D)
-    arrays, (mask_s, g_s, w0_s) = shard_layered_inputs(
+    arrays, slab, meta, (mask_s, g_s, w0_s) = shard_layered_inputs(
         lp, mask, g, w0, device_mesh, axis)
     return _sharded_newton_layered(
-        kernel, lp.n2d, lp.n_planes, lp.bs, lp.E, device_mesh, axis,
-        arrays, mask_s, g_s, w0_s, **tols)
+        kernel, lp.n2d, lp.n_planes, lp.bs, lp.E, meta["Lq"],
+        device_mesh, axis, arrays, slab, mask_s, g_s, w0_s, **tols)

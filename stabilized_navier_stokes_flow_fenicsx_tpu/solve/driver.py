@@ -40,19 +40,42 @@ def _layered_pc(pc, arrays, n2d, n_planes, mask, mg=None):
     iteration counts; requires the ``mg`` hierarchy argument.
     """
     if pc in ("mg", "mg_bf16", "mg_jacobi", "mg_jacobi_bf16",
-              "mg_grouped", "mg_grouped_bf16"):
+              "mg_grouped", "mg_grouped_bf16", "mg_line", "mg_line_bf16",
+              "mg_lined", "mg_lined_bf16", "mg_linej", "mg_linej_bf16",
+              "mg_zebra", "mg_zebra_bf16"):
         from .mg import make_mg_pc
 
         assert mg is not None, "pc='mg' needs a build_mg_hierarchy result"
         dt = jnp.bfloat16 if pc.endswith("bf16") else None
         sm = ("jacobi" if pc.startswith("mg_jacobi")
               else "grouped" if pc.startswith("mg_grouped")
+              else "lined" if pc.startswith("mg_lined")
+              else "linej" if pc.startswith("mg_linej")
+              else "line" if pc.startswith("mg_line")
+              else "zebra" if pc.startswith("mg_zebra")
               else "plane_gs")
 
         def make(values):
             return make_mg_pc(
                 mg, values, arrays.cols, arrays.row_ids, arrays.diag_pos,
                 mask, n2d, n_planes, pc_dtype=dt, smoother=sm)
+    elif pc in ("zebra", "zebra_bf16"):
+        from .precond import plane_zebra_layered
+
+        dt = jnp.bfloat16 if pc.endswith("bf16") else None
+
+        def make(values):
+            return plane_zebra_layered(
+                values, arrays.cols, arrays.row_ids, arrays.diag_pos,
+                mask, n2d, n_planes, pc_dtype=dt)
+    elif pc in ("line_cr", "line_cr_bf16"):
+        from .precond import line_cr_layered
+
+        dt = jnp.bfloat16 if pc.endswith("bf16") else None
+
+        def make(values):
+            return line_cr_layered(
+                values, arrays.diag_pos, mask, n2d, n_planes, pc_dtype=dt)
     elif pc in ("plane_gs", "plane_gs_bf16"):
         dt = jnp.bfloat16 if pc.endswith("bf16") else None
 

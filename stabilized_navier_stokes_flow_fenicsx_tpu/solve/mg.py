@@ -151,10 +151,21 @@ def build_mg_hierarchy(
     rows2d: np.ndarray, cols2d: np.ndarray, n2d: int, Lp: int,
     mask_np: np.ndarray, bs: int,
     n_levels: int = 3, agg_target: int = 4, min_dofs: int = 2000,
+    coarsen_planes: bool = True,
 ) -> MGHierarchy:
     """Host-side setup: ``n_levels`` coarsenings (or until below
     ``min_dofs``).  Static per mesh; values are re-RAP'd per Newton
-    iteration on device."""
+    iteration on device.
+
+    coarsen_planes=False builds a SEMI-coarsened hierarchy: only the 2D
+    cross-section aggregates, every level keeps all Lp planes.  This is
+    the pairing for the line-CR smoother on the advective NS Jacobian:
+    the exact vertical line solve owns the streamwise (plane-direction)
+    advection on every level, and coarsening only has to represent the
+    in-plane, diffusion/pressure-dominated error — full plane pairing
+    feeds the 0/1 Galerkin RAP an averaged vertical advection operator
+    that destabilizes the cycle (measured: benchmarks/_line_cr_exp.py).
+    """
     levels: List[MGLevel] = []
     dims: List[Tuple[int, int, int]] = []
     r, c, n, L, m = (np.asarray(rows2d, np.int64), np.asarray(cols2d, np.int64),
@@ -163,7 +174,8 @@ def build_mg_hierarchy(
         if n * L * bs <= min_dofs:
             break
         (seg_map, node_map, r_c, c_c, dp_c, m_c, n_c, L_c, E_c) = \
-            _coarsen_level(r, c, n, L, m, bs, agg_target)
+            _coarsen_level(r, c, n, L, m, bs, agg_target,
+                           coarsen_planes=coarsen_planes)
         levels.append(MGLevel(
             seg_map=jnp.asarray(seg_map), node_map=jnp.asarray(node_map),
             cols=jnp.asarray(c_c), row_ids=jnp.asarray(r_c),
@@ -282,6 +294,58 @@ def make_mg_pc(
                 x = omega * Dinv(r)
                 return x + omega * Dinv(r - mvk(x))
             smoothers.append(sm)
+        elif smoother == "zebra":
+            # red-black plane relaxation: plane-GS-class smoothing with
+            # dependency depth 2 per sweep instead of Lp — compile-safe
+            # inside Newton programs at 1M dofs, batched over planes
+            from .precond import plane_zebra_layered
+
+            smoothers.append(plane_zebra_layered(
+                lv_vals[k], lv_cols[k], lv_rows[k], lv_diag[k],
+                lv_mask[k], nk, Lk, zebra_sweeps=1, pc_dtype=pc_dtype))
+        elif smoother == "linej":
+            # hybrid: exact vertical line solve, then a damped node-block
+            # Jacobi correction on the remaining (in-plane) residual —
+            # the line solve owns the streamwise coupling, the Jacobi
+            # pass damps the in-plane modes the line solve ignores
+            from .precond import block_jacobi as _bj, line_cr_layered
+
+            base = line_cr_layered(
+                lv_vals[k], lv_diag[k], lv_mask[k], nk, Lk,
+                pc_dtype=pc_dtype)
+            d = Vk[:, :, 1, lv_diag[k], :]
+            blocks = d.transpose(3, 2, 0, 1).reshape(-1, bs, bs)
+            Dinv = _bj(blocks.astype(jnp.float32),
+                       mk.astype(jnp.float32))
+            omega = 0.7
+
+            def sm(r, base=base, Dinv=Dinv, mvk=matvecs[k], omega=omega):
+                x = omega * base(r)
+                return x + omega * Dinv(r - mvk(x))
+            smoothers.append(sm)
+        elif smoother in ("line", "lined"):
+            # vertical-line solve by cyclic reduction (log-depth, no
+            # scan): exact in the extrusion/streamwise direction, Jacobi
+            # between lines.  'lined' damps the update (omega=0.7).
+            # CAUTION (measured, benchmarks/_line_cr_exp.py): strong at
+            # lc=0.12 (66 its — the best NS count there) but the line
+            # family degrades/diverges on the NS Jacobian at lc<=0.085
+            # even damped or semi-coarsened; kept for coarse problems
+            # and as a documented negative result — 'zebra' is the
+            # robust scan-free smoother.
+            from .precond import line_cr_layered
+
+            base = line_cr_layered(
+                lv_vals[k], lv_diag[k], lv_mask[k], nk, Lk,
+                pc_dtype=pc_dtype)
+            if smoother == "lined":
+                omega = 0.7
+
+                def sm(r, base=base, omega=omega):
+                    return omega * base(r)
+                smoothers.append(sm)
+            else:
+                smoothers.append(base)
         elif smoother == "grouped":
             # plane-GS strength at 1/8 the scan latency (G planes per
             # scan step) — and a ~8x smaller XLA program, which is what

@@ -93,3 +93,46 @@ def test_mg_grouped_smoother(channel_image):
     assert rel < 1e-6, rel
     assert int(res.iters) <= 2 * int(mg_res.iters), (
         int(mg_res.iters), int(res.iters))
+
+
+def test_line_cr_matches_thomas(channel_image):
+    """Cyclic-reduction vertical-line solve == blocked-Thomas solve of
+    the same block-tridiagonal columns (solve/precond.py)."""
+    import jax.numpy as jnp
+
+    from stabilized_navier_stokes_flow_fenicsx_tpu.assemble.layered import (
+        matrix_values_layered)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.forms.stokes import (
+        make_stokes_kernel)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.solve.precond import (
+        line_cr_layered, line_jacobi_layered)
+
+    inlet1, inlet2 = solve_inlet_profiles(channel_image, 0.5, DEFAULT)
+    mesh, _, _ = generate_channel_mesh(channel_image, 0.15, DEFAULT,
+                                       layered=True)
+    W, lp, mask, g, g64 = _setup_layered(mesh, inlet1, inlet2)
+    kern = make_stokes_kernel("tetrahedron", nu=1.0, mu_T_coeff=0.2)
+    V = matrix_values_layered(kern, lp.E, lp.n_planes, lp.bs, lp.arrays,
+                              jnp.zeros(W.ndofs))
+    r = jnp.asarray(np.random.default_rng(3).standard_normal(W.ndofs))
+    x_cr = line_cr_layered(V, lp.arrays.diag_pos, mask, lp.n2d,
+                           lp.n_planes)(r)
+    x_th = line_jacobi_layered(V, lp.arrays.diag_pos, mask, lp.n2d,
+                               lp.n_planes)(r)
+    rel = float(np.linalg.norm(np.asarray(x_cr - x_th))
+                / np.linalg.norm(np.asarray(x_th)))
+    assert rel < 1e-12, rel
+
+
+def test_mg_line_smoother(channel_image):
+    """Line-CR-smoothed V-cycle: the compile-safe (log-depth, scan-free)
+    smoother that also handles the advective NS Jacobian — measured the
+    strongest NS PC in benchmarks/_line_cr_exp.py (66 its vs 99
+    mg_jacobi / 365 plane-GS-smoothed at lc=0.12)."""
+    mg_res, x_mg = _solve(channel_image, 0.15, "mg")
+    res, x = _solve(channel_image, 0.15, "mg_line")
+    assert bool(res.converged)
+    rel = np.linalg.norm(x - x_mg) / np.linalg.norm(x_mg)
+    assert rel < 1e-6, rel
+    assert int(res.iters) <= 3 * int(mg_res.iters), (
+        int(mg_res.iters), int(res.iters))
