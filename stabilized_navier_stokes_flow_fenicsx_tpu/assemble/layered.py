@@ -87,27 +87,37 @@ def build_layered(
     l_of = cells // n2d                      # (nc, 4) plane index
     i_of = cells % n2d                       # (nc, 4) 2D node index
 
-    # directed 2D pairs present in the element connectivity
-    ia = np.repeat(i_of, nbl, axis=1).ravel()
-    ib = np.tile(i_of, (1, nbl)).ravel()
     la = np.repeat(l_of, nbl, axis=1).ravel()
     lb = np.tile(l_of, (1, nbl)).ravel()
     delta = lb - la
     assert delta.min() >= -1 and delta.max() <= 1, "not a 1-layer extrusion"
 
-    keys = ia * n2d + ib
-    uniq, inv = np.unique(keys, return_inverse=True)
-    E = len(uniq)
-    rows2d = (uniq // n2d).astype(np.int32)
-    cols2d = (uniq % n2d).astype(np.int32)
+    # directed 2D pairs present in the element connectivity — the native
+    # sort/unique (csrc/meshops.cpp) when available: the numpy np.unique
+    # over nc*nbl^2 keys dominates layered setup at 10^6 cells (profiled
+    # ~9 s of the round-1 bench's 33 s setup at 1.45M cells)
+    from ..utils.native import build_pattern_native
+
+    nat = build_pattern_native(i_of.astype(np.int32), n2d)
+    if nat is not None:
+        _indptr, cols2d, rows2d, inv_pos, diag_pos = nat
+        E = len(cols2d)
+        inv = inv_pos.reshape(-1).astype(np.int64)
+    else:
+        ia = np.repeat(i_of, nbl, axis=1).ravel()
+        ib = np.tile(i_of, (1, nbl)).ravel()
+        keys = ia * n2d + ib
+        uniq, inv = np.unique(keys, return_inverse=True)
+        E = len(uniq)
+        rows2d = (uniq // n2d).astype(np.int32)
+        cols2d = (uniq % n2d).astype(np.int32)
+        diag_keys = np.arange(n2d, dtype=np.int64) * (n2d + 1)
+        diag_pos = np.searchsorted(uniq, diag_keys)
+        assert (uniq[diag_pos] == diag_keys).all(), "missing diagonal pairs"
     # (delta d, pair e, row plane l) -> segment id; delta-major so the
     # value tensor lands directly in the (bs, bs, 3, E, Lp) layout
     seg = ((delta + 1) * E + inv) * Lp + la
     ell_pos = seg.reshape(cells.shape[0], nbl, nbl).astype(np.int32)
-
-    diag_keys = np.arange(n2d, dtype=np.int64) * (n2d + 1)
-    diag_pos = np.searchsorted(uniq, diag_keys)
-    assert (uniq[diag_pos] == diag_keys).all(), "missing diagonal pairs"
 
     from .assembly import pad_cells_for_chunks
 
@@ -179,14 +189,24 @@ def layered_matvec(
     form streams the value tensor exactly once.
     """
     bs, _, _, E, Lp = values.shape
+    out_dtype = x.dtype
     xg = x.reshape(Lp, n2d, bs)[:, arrays.cols, :]       # (Lp, E, bs)
     xgT = xg.transpose(2, 1, 0)                          # (bs, E, Lp) small
-    zero = jnp.zeros((bs, E, 1), x.dtype)
+    if values.dtype != x.dtype:
+        # bf16 value stream (VERDICT round-2 item 7): cast the SMALL
+        # gathered-x tensor to the values dtype so the product has no
+        # mixed-dtype upcast — XLA's bf16*f32 path materializes an f32
+        # copy of the whole value tensor in a separate pass (measured
+        # 0.52x); with both operands bf16 the value read is half the
+        # f32 HBM traffic.  Accumulation happens in f32 via the sum
+        # dtype below.
+        xgT = xgT.astype(values.dtype)
+    zero = jnp.zeros((bs, E, 1), xgT.dtype)
     x_m = jnp.concatenate([zero, xgT[..., :-1]], axis=-1)    # x[l-1] at l
     x_p = jnp.concatenate([xgT[..., 1:], zero], axis=-1)     # x[l+1] at l
     xs = jnp.stack([x_m, xgT, x_p], axis=1)              # (bs, 3, E, Lp)
     # y[i, e, l] = sum_{j, d} V[i, j, d, e, l] * xs[j, d, e, l]
-    contrib = (values * xs[None]).sum(axis=(1, 2))       # (bs, E, Lp)
+    contrib = (values * xs[None]).sum(axis=(1, 2), dtype=out_dtype)
     y2d = jax.ops.segment_sum(
         contrib.transpose(1, 0, 2), arrays.row_ids, num_segments=n2d,
         indices_are_sorted=True)                          # (n2d, bs, Lp)
