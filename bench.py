@@ -41,16 +41,21 @@ if os.environ.get("BENCH_CPU"):
 
     jax.config.update("jax_platforms", "cpu")
 
-# One PC per phase (VERDICT round-2: no pc zoo).  Headline (capped inner
-# solves): the Jacobi-smoothed V-cycle — near-free applies, best
-# reduction-per-millisecond in the capped regime (round-2 measurement:
-# 21.7 s vs 51.7 plane_gs / 111.4 mg at 345k).  Converged companion:
-# the line-CR-smoothed SEMI-coarsened V-cycle — the only PC that is both
-# compile-safe at 1M dofs (log-depth, no scanned smoother: plane-GS
-# programs crash the tunneled compiler >300k) and strong on the
-# advective NS Jacobian (solve/mg.py, benchmarks/_line_cr_exp.py).
+# ONE PC throughout (VERDICT round-2: no pc zoo): the Jacobi-smoothed
+# V-cycle.  Measured across the whole candidate field (plane-GS, grouped,
+# line-CR, damped/hybrid line, zebra, semi-coarsened variants —
+# benchmarks/_line_cr_exp.py): mg_jacobi has the best fine-mesh NS
+# iteration counts (283 at lc=0.06/Re=10 vs 645 zebra, ~1400-2000 for
+# the line family), near-free applies (best reduction-per-millisecond in
+# the capped headline regime: 21.7 s vs 51.7 plane_gs / 111.4 mg at
+# 345k, round 2), and it is the one smoother PROVEN to compile inside
+# stepped Newton at 1.05M dofs (scanned plane-GS programs crash the
+# tunneled compiler >300k).  The converged companion's Newton stage
+# converges quadratically from the Stokes init (~4 steps) and the df
+# refinement stage only needs ksp_rtol 1e-2, so capped inner solves
+# suffice.
 HEADLINE_PC = "mg_jacobi_bf16"
-CONVERGED_PC = "mg_line_bf16"
+CONVERGED_PC = "mg_jacobi_bf16"
 
 
 def _budget() -> float:
@@ -106,6 +111,28 @@ def build_problem(lc: float):
     return mesh, W, lp, mask, g, g64, hier, hier_semi
 
 
+def make_step(kernel, lp, mask, g, hier, hier_semi):
+    """One stepped-Newton dispatch (a single multi-minute XLA program
+    trips the tunneled device's watchdog at large sizes); inner solves to
+    ksp_rtol with a capped budget — better preconditioners genuinely
+    reduce the measured time."""
+    from stabilized_navier_stokes_flow_fenicsx_tpu.solve.driver import (
+        solve_newton_layered)
+
+    def hier_of(pc):
+        return hier_semi if pc.startswith("mg_line") else hier
+
+    def step(w, ksp_rtol, ksp_max_restarts, max_it=1, atol=0.0,
+             pc=HEADLINE_PC):
+        return solve_newton_layered(
+            kernel, lp.n2d, lp.n_planes, lp.bs, lp.arrays,
+            mask, g, w, lp.E,
+            0.0, atol, max_it, ksp_rtol, 50, ksp_max_restarts,
+            pc, hier_of(pc))
+
+    return step
+
+
 def run_bench(lc: float, newton_its: int = 5):
     import jax
 
@@ -121,21 +148,7 @@ def run_bench(lc: float, newton_its: int = 5):
     _note(f"bench: setup {setup_s:.1f}s ndofs={W.ndofs} "
           f"cells={mesh.n_cells}")
     kern = make_ns_sups_kernel("tetrahedron", nu=1.0 / 10.0)
-
-    def hier_of(pc):
-        return hier_semi if pc.startswith("mg_line") else hier
-
-    def step(w, ksp_rtol, ksp_max_restarts, max_it=1, atol=0.0,
-             pc=HEADLINE_PC):
-        # one dispatch per Newton step (a single multi-minute XLA program
-        # trips the tunneled device's watchdog at large sizes); inner
-        # solves to ksp_rtol with a capped budget — better preconditioners
-        # genuinely reduce the measured time.
-        return solve_newton_layered(
-            kern, lp.n2d, lp.n_planes, lp.bs, lp.arrays,
-            mask, g, w, lp.E,
-            0.0, atol, max_it, ksp_rtol, 50, ksp_max_restarts,
-            pc, hier_of(pc))
+    step = make_step(kern, lp, mask, g, hier, hier_semi)
 
     def run5():
         w, out = g, None
@@ -187,7 +200,7 @@ def run_converged(info, ctx):
     from stabilized_navier_stokes_flow_fenicsx_tpu.forms.stokes import (
         make_stokes_kernel)
     from stabilized_navier_stokes_flow_fenicsx_tpu.solve.driver import (
-        refine_newton_layered, solve_linear_layered)
+        refine_newton_layered)
     from stabilized_navier_stokes_flow_fenicsx_tpu.forms.navier_stokes_df import (
         split64)
 
@@ -196,13 +209,18 @@ def run_converged(info, ctx):
     pc = CONVERGED_PC
     hr = hier_semi if pc.startswith("mg_line") else hier
 
+    # Stokes init through the SAME stepped-Newton program shape that
+    # compiles and runs at 1.05M (the headline path; the affine Stokes
+    # kernel makes one Newton step an exact linear solve).  The dedicated
+    # solve_linear_layered program was a fresh big compile at 1M and
+    # crashed the tunneled worker (round-3 measurement) — this shape is
+    # the proven-safe one.
     stokes_k = make_stokes_kernel("tetrahedron", nu=1.0, mu_T_coeff=0.2)
+    stokes_step = make_step(stokes_k, lp, mask, g, hier, hier_semi)
     t0 = time.time()
-    sres = solve_linear_layered(
-        stokes_k, lp.n2d, lp.n_planes, lp.bs,
-        lp.arrays, mask, g, lp.E, 1e-6, 50, pc, hr)
+    sres = stokes_step(g, 1e-6, 30, max_it=1, pc=pc)
     w = sres.x
-    _note(f"conv: stokes {time.time() - t0:.1f}s its={int(sres.iters)}")
+    _note(f"conv: stokes {time.time() - t0:.1f}s |r|={float(sres.resnorm):.3e}")
     r0 = float(step(w, 1e-3, 4, max_it=0).resnorm)     # ||F(x_stokes)||
     tol = 1e-8 * r0
     info["converged_r0"] = r0
@@ -210,7 +228,7 @@ def run_converged(info, ctx):
     # below continues to the reference tolerance.
     its, rn = 0, r0
     last_step_s = 0.0
-    while its < 15 and rn > 1e-6 * r0:
+    while its < 10 and rn > 1e-6 * r0:
         if time.time() + max(60.0, 1.3 * last_step_s) > deadline - 60:
             _note("conv: newton deadline — stopping early")
             break
@@ -220,8 +238,13 @@ def run_converged(info, ctx):
         new_rn = float(outc.resnorm)
         _note(f"conv: newton it {its} |F|={new_rn:.3e} "
               f"({last_step_s:.1f}s)")
-        if bool(outc.stalled) or new_rn >= rn:
-            rn = min(rn, new_rn)     # f32 floor: refinement takes over
+        if bool(outc.stalled) or new_rn > 0.5 * rn:
+            # f32 floor territory (less than 2x reduction per step): the
+            # df refinement below converges from here anyway (measured:
+            # 2.8e-2 -> 6e-10 in 4 refine steps at the smoke scale) and
+            # each extra Newton dispatch costs ~30 s at 1M dofs
+            if new_rn < rn:          # keep the better iterate
+                w, rn = outc.x, new_rn
             break
         w = outc.x
         rn = new_rn
@@ -303,26 +326,43 @@ def emit(info):
 
 
 def child(lc: float):
-    info, ctx = run_bench(lc)
+    """Headline-only child: prints the JSON line, saves info to the
+    state file for the (crash-isolated) converged child."""
+    info, _ctx = run_bench(lc)
     emit(info)                          # headline is now on stdout
-    deadline = _deadline()
-    if time.time() + 180 > deadline:
-        _note("bench: no budget left for the converged companion")
-        return
-    try:
-        info = run_converged(info, ctx)
-        emit(info)                      # updated line with converged keys
-    except Exception as e:              # headline already printed
-        _note(f"bench: converged companion failed: {e!r}")
+    _mark_state(info=info, lc=lc)
+
+
+def child_converged(lc: float):
+    """Converged-companion child: own process (a TPU worker crash here
+    cannot erase the already-printed headline), rebuilds the problem
+    from the warm compilation cache."""
+    from stabilized_navier_stokes_flow_fenicsx_tpu.forms.navier_stokes import (
+        make_ns_sups_kernel)
+
+    state = json.load(open(os.environ["BENCH_STATE"]))
+    info = state["info"]
+    t0 = time.time()
+    mesh, W, lp, mask, g, g64, hier, hier_semi = build_problem(lc)
+    _note(f"conv: rebuild {time.time() - t0:.1f}s")
+    kern = make_ns_sups_kernel("tetrahedron", nu=1.0 / 10.0)
+    step = make_step(kern, lp, mask, g, hier, hier_semi)
+    ctx = (lp, mask, g, g64, hier, hier_semi, step, W)
+    info = run_converged(info, ctx)
+    emit(info)                          # updated line with converged keys
 
 
 def main():
     import subprocess
     import tempfile
 
-    args = [a for a in sys.argv[1:] if a != "--child"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--child", "--child-converged")]
     if "--child" in sys.argv[1:]:
         child(float(args[0]))
+        return
+    if "--child-converged" in sys.argv[1:]:
+        child_converged(float(args[0]))
         return
 
     t_start = time.time()
@@ -332,6 +372,7 @@ def main():
     env = dict(os.environ,
                BENCH_DEADLINE=str(deadline - 10),
                BENCH_STATE=state_file)
+    state = None
     for try_lc in (lc0, 0.035):
         remaining = deadline - time.time() - 5
         if remaining < 120:
@@ -353,9 +394,26 @@ def main():
         except Exception:
             state = {}
         if state.get("printed"):
-            return                      # headline (at least) is on stdout
+            break                       # headline is on stdout
         _note(f"bench: attempt at lc={try_lc} produced no headline; "
               "falling back")
+        state = None
+    if state and state.get("printed"):
+        # converged companion in its OWN process: a TPU worker crash in
+        # the big fresh compiles here cannot cost the headline
+        remaining = deadline - time.time() - 5
+        if remaining > 240:
+            try:
+                subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--child-converged", str(state["lc"])],
+                    env=env, timeout=remaining, cwd=os.path.dirname(
+                        os.path.abspath(__file__)) or ".")
+            except subprocess.TimeoutExpired:
+                pass
+        else:
+            _note("bench: no budget left for the converged companion")
+        return
     # last resort: tiny in-process run so the round records SOMETHING
     os.environ["BENCH_DEADLINE"] = str(time.time() + 600)
     info, _ctx = run_bench(0.08)
