@@ -29,7 +29,8 @@ from ..forms.navier_stokes import make_ns_sups_kernel
 from ..forms.stokes import make_stokes_kernel
 from ..mesh.core import SimplexMesh, mark_boundary_facets
 from ..mesh.extrude import extrude_tri_mesh
-from ..mesh.sizefield import triangulate_sizefield
+from ..mesh.sizefield import (
+    merge_meshes, structured_annulus, triangulate_sizefield)
 from ..solve.newton_host import linear_host_lu, newton_host_lu
 
 L, W = 2.2, 0.41
@@ -38,10 +39,15 @@ NU = 1e-3
 UC, LC_REF = 0.2, 0.1 * 0.41
 
 
-def dfg3d_mesh(scale: float = 1.0) -> SimplexMesh:
+def dfg3d_mesh(scale: float = 1.0, cyl_factor: float = 1.0,
+               symmetric_band: bool = True) -> SimplexMesh:
+    """cyl_factor < 1 refines the pillar neighbourhood only (the drag
+    error is dominated by the surface/boundary-layer resolution);
+    symmetric_band glues a structured annulus into the cross-section
+    (see dfg2d / mesh/sizefield.py) before extruding through the span."""
     lc_far = 0.09 * scale
     lc_wake = 0.035 * scale
-    lc_cyl = 0.014 * scale
+    lc_cyl = 0.014 * scale * cyl_factor
 
     def lc_fn(p):
         p = np.atleast_2d(p)
@@ -53,10 +59,23 @@ def dfg3d_mesh(scale: float = 1.0) -> SimplexMesh:
         return np.minimum(near, wake)
 
     rect = np.array([[0, 0], [L, 0], [L, W], [0, W]], dtype=float)
-    th = np.linspace(0, 2 * np.pi, 128, endpoint=False)
-    circle = np.stack([CX + R * np.cos(th), CY + R * np.sin(th)], axis=1)
-    tri = triangulate_sizefield(rect, [circle], lc_fn, lc_min=lc_cyl)
-    n_layers = max(4, int(np.ceil(W / (2.5 * lc_cyl))))
+    center = np.array([CX, CY])
+    if symmetric_band:
+        apts, atris, _inner, outer_ids = structured_annulus(
+            center, R, lc_cyl, n_layers=3)
+        ann = SimplexMesh("triangle", apts, atris).orient_positive()
+        tri = triangulate_sizefield(
+            rect, [], lc_fn, lc_min=lc_cyl,
+            fixed_hole_loops=[apts[outer_ids]])
+        tri = merge_meshes(tri, ann)
+    else:
+        th = np.linspace(0, 2 * np.pi, 128, endpoint=False)
+        circle = np.stack(
+            [CX + R * np.cos(th), CY + R * np.sin(th)], axis=1)
+        tri = triangulate_sizefield(rect, [circle], lc_fn, lc_min=lc_cyl)
+    # span resolution follows the UNSCALED cylinder lc (the z-direction
+    # needs no extra refinement when cyl_factor shrinks in-plane cells)
+    n_layers = max(4, int(np.ceil(W / (2.5 * 0.014 * scale))))
     msh = extrude_tri_mesh(tri, np.linspace(0.0, W, n_layers + 1))
     eps = 1e-9
 
@@ -85,9 +104,10 @@ class DFG3DResult:
 
 
 def solve_dfg3d(scale: float = 1.0,
-                solver: Optional[SolverConfig] = None) -> DFG3DResult:
+                solver: Optional[SolverConfig] = None,
+                **mesh_kwargs) -> DFG3DResult:
     cfg = solver or SolverConfig()
-    mesh = dfg3d_mesh(scale)
+    mesh = dfg3d_mesh(scale, **mesh_kwargs)
     Wsp = make_mixed_space(mesh, 1, 1)
     asm = assembler_for_mixed(Wsp)
 

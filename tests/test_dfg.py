@@ -6,10 +6,16 @@ with the consistent reaction functional (flow/forces.py::reaction_force),
 which is superconvergent vs the reference's surface integrals — the
 surface-integral values are also computed (parity) and sanity-bounded.
 
-Measured convergence of the reaction-force Cd (boundary-layer-ring
-meshes, cyl_factor=0.5):  scale 1.0 -> -2.29%, 0.5 -> -2.14%,
-0.35 -> -1.27%, 0.25 -> -0.63% — first-order toward the literature
-value.  3D (textbook SUPS residual): scale 2.0 -> +9.7%, 1.5 -> +6.6%.
+Measured convergence with the reflection-symmetric annulus band
+(mesh/sizefield.py structured_annulus, cyl_factor=0.5):
+  2D Cd: scale 1.0 -> -2.49%, 0.5 -> -2.28%, 0.35 -> -1.27%,
+         0.25 -> -0.65% — first-order toward the literature value.
+  2D Cl: scale 0.5 -> -23.8%, 0.35 -> -22.6%, 0.25 -> -20.8% — a
+         monotone sequence converging from below (without the band the
+         mesh-asymmetry error oscillated -44%..+220%).
+  3D Cd (textbook SUPS residual): scale 2.0 -> +1.55%, 1.5 -> +0.66%,
+         (1.5, cf 0.6) -> -1.06%, (1.2, cf 0.6) -> +0.72% (was
+         +9.7%/+6.6% without the band).
 """
 
 import numpy as np
@@ -30,7 +36,10 @@ def test_dfg2d_drag_and_lift():
     r2 = solve_dfg2d(0.35)
     assert r2.converged
     assert abs(r2.cd - CD_REF) / CD_REF < 0.02, r2.cd
-    assert 0.001 < r2.cl < 0.1, r2.cl
+    # VERDICT round-2 item 5: lift within a real bar (measured -22.6%
+    # at this scale, stable across 0.5/0.35/0.25 with the symmetric
+    # band; was only sign-bounded before)
+    assert abs(r2.cl - CL_REF) / CL_REF < 0.30, r2.cl
     # h-convergence of the reaction-force drag
     assert abs(r2.cd - CD_REF) < abs(r1.cd - CD_REF)
     # the reference's surface-integral formula on the same field stays in
@@ -45,5 +54,7 @@ def test_dfg3d_drag():
 
     r = solve_dfg3d(2.0)
     assert r.converged
-    # VERDICT round-1 item 8 bar: 3D Cd within +-15% of 6.18
-    assert abs(r.cd - 6.18) / 6.18 < 0.15, r.cd
+    # VERDICT round-2 item 6 bar: 3D Cd within 5% of 6.18 (measured
+    # +1.55% at this scale with the symmetric annulus band; +0.66% at
+    # scale 1.5)
+    assert abs(r.cd - 6.18) / 6.18 < 0.05, r.cd
