@@ -102,16 +102,10 @@ def build_problem(lc: float):
     mesh, _, _ = generate_channel_mesh(img, lc, DEFAULT, layered=True)
     W, lp, mask, g, g64, hier = _setup_layered(mesh, inlet1, inlet2,
                                                mg_levels=3)
-    # semi-coarsened (2D-only) hierarchy for the line-CR smoother
-    hier_semi = build_mg_hierarchy(
-        np.asarray(lp.pattern_like.row_ids),
-        np.asarray(lp.pattern_like.indices),
-        lp.n2d, lp.n_planes, np.asarray(mask, np.float32), lp.bs,
-        n_levels=3, coarsen_planes=False)
-    return mesh, W, lp, mask, g, g64, hier, hier_semi
+    return mesh, W, lp, mask, g, g64, hier
 
 
-def make_step(kernel, lp, mask, g, hier, hier_semi):
+def make_step(kernel, lp, mask, g, hier):
     """One stepped-Newton dispatch (a single multi-minute XLA program
     trips the tunneled device's watchdog at large sizes); inner solves to
     ksp_rtol with a capped budget — better preconditioners genuinely
@@ -119,16 +113,13 @@ def make_step(kernel, lp, mask, g, hier, hier_semi):
     from stabilized_navier_stokes_flow_fenicsx_tpu.solve.driver import (
         solve_newton_layered)
 
-    def hier_of(pc):
-        return hier_semi if pc.startswith("mg_line") else hier
-
     def step(w, ksp_rtol, ksp_max_restarts, max_it=1, atol=0.0,
              pc=HEADLINE_PC):
         return solve_newton_layered(
             kernel, lp.n2d, lp.n_planes, lp.bs, lp.arrays,
             mask, g, w, lp.E,
             0.0, atol, max_it, ksp_rtol, 50, ksp_max_restarts,
-            pc, hier_of(pc))
+            pc, hier)
 
     return step
 
@@ -143,12 +134,12 @@ def run_bench(lc: float, newton_its: int = 5):
 
     deadline = _deadline()
     t0 = time.time()
-    mesh, W, lp, mask, g, g64, hier, hier_semi = build_problem(lc)
+    mesh, W, lp, mask, g, g64, hier = build_problem(lc)
     setup_s = time.time() - t0
     _note(f"bench: setup {setup_s:.1f}s ndofs={W.ndofs} "
           f"cells={mesh.n_cells}")
     kern = make_ns_sups_kernel("tetrahedron", nu=1.0 / 10.0)
-    step = make_step(kern, lp, mask, g, hier, hier_semi)
+    step = make_step(kern, lp, mask, g, hier)
 
     def run5():
         w, out = g, None
@@ -181,7 +172,7 @@ def run_bench(lc: float, newton_its: int = 5):
         "steady_s": round(steady_s, 3),
         "newton_its": int(out.iters),
         "resnorm": resnorm,
-    }, (lp, mask, g, g64, hier, hier_semi, step, W)
+    }, (lp, mask, g, g64, hier, step, W)
 
 
 def run_converged(info, ctx):
@@ -205,9 +196,9 @@ def run_converged(info, ctx):
         split64)
 
     deadline = _deadline()
-    lp, mask, g, g64, hier, hier_semi, step, W = ctx
+    lp, mask, g, g64, hier, step, W = ctx
     pc = CONVERGED_PC
-    hr = hier_semi if pc.startswith("mg_line") else hier
+    hr = hier
 
     # Stokes init through the SAME stepped-Newton program shape that
     # compiles and runs at 1.05M (the headline path; the affine Stokes
@@ -216,7 +207,7 @@ def run_converged(info, ctx):
     # crashed the tunneled worker (round-3 measurement) — this shape is
     # the proven-safe one.
     stokes_k = make_stokes_kernel("tetrahedron", nu=1.0, mu_T_coeff=0.2)
-    stokes_step = make_step(stokes_k, lp, mask, g, hier, hier_semi)
+    stokes_step = make_step(stokes_k, lp, mask, g, hier)
     t0 = time.time()
     sres = stokes_step(g, 1e-6, 30, max_it=1, pc=pc)
     w = sres.x
@@ -233,7 +224,11 @@ def run_converged(info, ctx):
             _note("conv: newton deadline — stopping early")
             break
         t1 = time.time()
-        outc = step(w, 1e-4, 8, atol=1e-6 * r0, pc=pc)
+        # 40 restarts (2000 its): the dense-coarse V-cycle converges the
+        # NS Jacobian in ~185 its at 70k and grows with h — the cheap
+        # applies make a deep cap affordable, and the old 400-it cap was
+        # what flatlined round 2's companion
+        outc = step(w, 1e-4, 40, atol=1e-6 * r0, pc=pc)
         last_step_s = time.time() - t1
         new_rn = float(outc.resnorm)
         _note(f"conv: newton it {its} |F|={new_rn:.3e} "
@@ -343,11 +338,11 @@ def child_converged(lc: float):
     state = json.load(open(os.environ["BENCH_STATE"]))
     info = state["info"]
     t0 = time.time()
-    mesh, W, lp, mask, g, g64, hier, hier_semi = build_problem(lc)
+    mesh, W, lp, mask, g, g64, hier = build_problem(lc)
     _note(f"conv: rebuild {time.time() - t0:.1f}s")
     kern = make_ns_sups_kernel("tetrahedron", nu=1.0 / 10.0)
-    step = make_step(kern, lp, mask, g, hier, hier_semi)
-    ctx = (lp, mask, g, g64, hier, hier_semi, step, W)
+    step = make_step(kern, lp, mask, g, hier)
+    ctx = (lp, mask, g, g64, hier, step, W)
     info = run_converged(info, ctx)
     emit(info)                          # updated line with converged keys
 

@@ -27,7 +27,7 @@ def main():
         make_stokes_kernel)
 
     os.environ.setdefault("BENCH_DEADLINE", str(time.time() + 3600))
-    mesh, W, lp, mask, g, g64, hier, hier_semi = bench.build_problem(lc)
+    mesh, W, lp, mask, g, g64, hier = bench.build_problem(lc)
     print(f"ndofs={W.ndofs}", flush=True)
     kern = make_stokes_kernel("tetrahedron", nu=1.0, mu_T_coeff=0.2)
     V = matrix_values_layered(kern, lp.E, lp.n_planes, lp.bs, lp.arrays,

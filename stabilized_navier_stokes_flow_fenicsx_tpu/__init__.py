@@ -21,4 +21,15 @@ Layers (bottom-up), mirroring SURVEY.md section 7:
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# FEM assembly is accuracy-critical: TPU matmul/einsum/dot default to
+# single-pass bf16 inputs, which puts an ABSOLUTE noise floor ~1e-1 on
+# assembled Newton residuals at 345k dofs (round-2 misattributed this to
+# "the f32 floor": the same f32 step on CPU reaches 5.9e-6).  Forcing
+# f32 MACs restores CPU-identical residuals on TPU at no measured
+# wall-clock cost (the hot path is HBM-bound SpMV/segment-sum, not MXU
+# matmuls; measured 41.8s -> 40.8s per probe step at 26k dofs).
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from . import config as config

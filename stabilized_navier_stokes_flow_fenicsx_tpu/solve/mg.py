@@ -220,6 +220,9 @@ def make_mg_pc(
     n_coarse_sweeps: int = 4,
     pc_dtype=None,
     smoother: str = "plane_gs",
+    coarse: str = "dense",
+    dense_cap: int = 8192,
+    cycle_type: str = "v",
 ) -> Callable:
     """V-cycle preconditioner closure r -> x for the layered operator.
 
@@ -229,7 +232,17 @@ def make_mg_pc(
     (~230 ms measured) regardless of problem size.  smoother='jacobi':
     two damped (omega=0.7) node-block-Jacobi sweeps — one batched 4x4
     matmul + SpMV each, fully parallel; more Krylov iterations but far
-    cheaper applies on TPU.  Measured trade: docs/ARCHITECTURE.md."""
+    cheaper applies on TPU.  Measured trade: docs/ARCHITECTURE.md.
+
+    coarse='dense' (default): solve the coarsest level EXACTLY by
+    materializing it as a dense matrix and inverting once per PC build
+    (a few GFLOP at the ~2k-dof coarsest level — noise next to one fine
+    SpMV); each apply is then a dense matvec, fully MXU-parallel.  A
+    V-cycle's mesh-independence requires the coarse problem actually
+    solved — n_coarse_sweeps of a point smoother on a 2k-dof advective
+    problem was the real bottleneck of the whole cycle.  Falls back to
+    relaxation sweeps when the coarsest level exceeds ``dense_cap``
+    dofs (inverse memory/FLOPs grow cubically)."""
     bs = values.shape[0]
     # level 0 keeps the RAW value tensor — every smoother/matvec below is
     # already mask-composed (P A P + (I-P) via the mask multiplies), and
@@ -269,6 +282,14 @@ def make_mg_pc(
         lv_dims.append((n_c, L_c, E_c))
 
     n_lv = len(lv_vals)
+    coarse_vals_full = lv_vals[-1]    # pre-cast: the dense coarse matrix
+    if pc_dtype is not None:
+        # stream the V-cycle's value tensors in the PC dtype: with bf16
+        # values layered_matvec reads them at half the HBM bandwidth
+        # (measured 1.22x at 345k, benchmarks/_bf16_spmv_bench.py) and
+        # still accumulates in f32.  PC quality in bf16 is ample — the
+        # outer FGMRES operator keeps the caller's f32 tensor.
+        lv_vals = [v.astype(pc_dtype) for v in lv_vals]
     smoothers = []
     matvecs = []
     for k in range(n_lv):
@@ -360,6 +381,49 @@ def make_mg_pc(
                 lv_vals[k], lv_cols[k], lv_rows[k], lv_diag[k],
                 lv_mask[k], nk, Lk, pc_dtype=pc_dtype))
 
+    coarse_apply = None
+    nk, Lk, Ek = lv_dims[-1]
+    if coarse == "dense" and nk * Lk * bs <= dense_cap:
+        Vk, mk = coarse_vals_full, lv_mask[-1]
+        N = nk * Lk
+        # scatter the (bs, bs) blocks of the coarsest value tensor into a
+        # dense (N*bs, N*bs) matrix: entry V[:, :, d, e, l] couples block
+        # row (l, row_ids[e]) to block col (l+d-1, cols[e])
+        d_g = jnp.arange(3)[:, None, None] - 1
+        e_g = jnp.arange(Ek)[None, :, None]
+        l_g = jnp.arange(Lk)[None, None, :]
+        lcol = l_g + d_g
+        Rb = l_g * nk + lv_rows[-1][e_g]                  # (3, Ek, Lk)
+        Cb = jnp.where((lcol >= 0) & (lcol < Lk), lcol, Lk) * nk \
+            + lv_cols[-1][e_g]
+        idx = jnp.where(Cb < N, Rb * N + Cb, N * N).reshape(-1)
+        blocks = Vk.transpose(2, 3, 4, 0, 1).reshape(-1, bs, bs)
+        Ad = jnp.zeros((N * N + 1, bs, bs), jnp.float32) \
+            .at[idx].add(blocks.astype(jnp.float32))[:N * N]
+        Ad = Ad.reshape(N, N, bs, bs).transpose(0, 2, 1, 3) \
+            .reshape(N * bs, N * bs)
+        # lv_vals[-1] is already P A P projected; add (I - P) rows
+        Ad = Ad + jnp.diag(1.0 - mk.astype(jnp.float32))
+        # the inverse stays f32 regardless of pc_dtype: a bf16 inverse of
+        # the (ill-conditioned) coarse operator injects kappa*eps_bf16
+        # noise that zeroes the whole V-cycle's progress (measured on
+        # TPU: FGMRES flatlined at |r|/|b|=0.74 for 600 its), and the
+        # ~2k-dof dense matvec is negligible next to one fine SpMV.
+        # TPU linalg.inv internals run at default (bf16-pass) matmul
+        # precision — two Newton-Schulz steps with explicit HIGHEST
+        # matmuls polish it to f32 accuracy independent of conditioning
+        # (measured: kappa 1e4 residual 1.5e-4 -> 2e-7; ~0.1 s at 2k).
+        HI = jax.lax.Precision.HIGHEST
+        Ainv = jnp.linalg.inv(Ad)
+        Id = jnp.eye(Ad.shape[0], dtype=Ad.dtype)
+        for _ in range(2):
+            Rd = Id - jnp.matmul(Ad, Ainv, precision=HI)
+            Ainv = Ainv + jnp.matmul(Ainv, Rd, precision=HI)
+
+        def coarse_apply(r, Ainv=Ainv):
+            y = jnp.matmul(Ainv, r.astype(Ainv.dtype), precision=HI)
+            return y.astype(r.dtype)
+
     def restrict(k, r):
         # sum rows into aggregates (R = P^T for 0/1 prolongation)
         lev = hierarchy.levels[k]
@@ -376,6 +440,8 @@ def make_mg_pc(
 
     def cycle(k, r):
         if k == n_lv - 1:
+            if coarse_apply is not None:
+                return coarse_apply(r)
             x = smoothers[k](r)
             for _ in range(n_coarse_sweeps - 1):
                 x = x + smoothers[k](r - matvecs[k](x))
@@ -383,6 +449,12 @@ def make_mg_pc(
         x = smoothers[k](r)                       # pre-smooth
         res = r - matvecs[k](x)
         xc = cycle(k + 1, restrict(k, res))
+        if cycle_type == "w" and k + 1 < n_lv - 1:
+            # W-cycle: a second coarse correction on the remaining
+            # coarse-level residual (helps when the 0/1-prolongation
+            # coarse correction is only marginally accurate)
+            rc = restrict(k, res)
+            xc = xc + cycle(k + 1, rc - matvecs[k + 1](xc))
         x = x + prolong(k, xc)
         x = x + smoothers[k](r - matvecs[k](x))   # post-smooth
         return x
