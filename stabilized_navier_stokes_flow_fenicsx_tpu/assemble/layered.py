@@ -80,52 +80,77 @@ def build_layered(
         dtype = jnp.zeros(0).dtype
     mesh = space.mesh
     bs = space.block_size
-    cells = mesh.cells.astype(np.int64)
-    nbl = cells.shape[1]
+    nbl = mesh.cells.shape[1]
     Lp = n_planes
 
-    l_of = cells // n2d                      # (nc, 4) plane index
-    i_of = cells % n2d                       # (nc, 4) 2D node index
+    # fused native pass (csrc/meshops.cpp::build_layered_pattern): emits
+    # the sorted 2D pair list AND the final per-cell scatter ids in two
+    # linear sweeps.  The numpy fallback below chains repeat/tile/unique/
+    # searchsorted over nc*nbl^2 int64 temporaries — profiled ~20 s of
+    # the 39.5 s lc=0.024 setup on the single-core bench host.
+    from ..utils.native import build_layered_pattern_native
 
-    la = np.repeat(l_of, nbl, axis=1).ravel()
-    lb = np.tile(l_of, (1, nbl)).ravel()
-    delta = lb - la
-    assert delta.min() >= -1 and delta.max() <= 1, "not a 1-layer extrusion"
-
-    # directed 2D pairs present in the element connectivity — the native
-    # sort/unique (csrc/meshops.cpp) when available: the numpy np.unique
-    # over nc*nbl^2 keys dominates layered setup at 10^6 cells (profiled
-    # ~9 s of the round-1 bench's 33 s setup at 1.45M cells)
-    from ..utils.native import build_pattern_native
-
-    nat = build_pattern_native(i_of.astype(np.int32), n2d)
-    if nat is not None:
-        _indptr, cols2d, rows2d, inv_pos, diag_pos = nat
-        E = len(cols2d)
-        inv = inv_pos.reshape(-1).astype(np.int64)
+    fused = build_layered_pattern_native(mesh.cells, n2d, Lp)
+    if fused is not None:
+        cols2d, rows2d, diag_pos, ell_pos, E = fused
     else:
-        ia = np.repeat(i_of, nbl, axis=1).ravel()
-        ib = np.tile(i_of, (1, nbl)).ravel()
-        keys = ia * n2d + ib
-        uniq, inv = np.unique(keys, return_inverse=True)
-        E = len(uniq)
-        rows2d = (uniq // n2d).astype(np.int32)
-        cols2d = (uniq % n2d).astype(np.int32)
-        diag_keys = np.arange(n2d, dtype=np.int64) * (n2d + 1)
-        diag_pos = np.searchsorted(uniq, diag_keys)
-        assert (uniq[diag_pos] == diag_keys).all(), "missing diagonal pairs"
-    # (delta d, pair e, row plane l) -> segment id; delta-major so the
-    # value tensor lands directly in the (bs, bs, 3, E, Lp) layout
-    seg = ((delta + 1) * E + inv) * Lp + la
-    ell_pos = seg.reshape(cells.shape[0], nbl, nbl).astype(np.int32)
+        cells = mesh.cells.astype(np.int64)
+        l_of = cells // n2d                  # (nc, 4) plane index
+        i_of = cells % n2d                   # (nc, 4) 2D node index
 
-    from .assembly import pad_cells_for_chunks
+        la = np.repeat(l_of, nbl, axis=1).ravel()
+        lb = np.tile(l_of, (1, nbl)).ravel()
+        delta = lb - la
+        assert delta.min() >= -1 and delta.max() <= 1, \
+            "not a 1-layer extrusion"
 
-    coords = mesh.points[mesh.cells]
+        from ..utils.native import build_pattern_native
+
+        nat = build_pattern_native(i_of.astype(np.int32), n2d)
+        if nat is not None:
+            _indptr, cols2d, rows2d, inv_pos, diag_pos = nat
+            E = len(cols2d)
+            inv = inv_pos.reshape(-1).astype(np.int64)
+        else:
+            ia = np.repeat(i_of, nbl, axis=1).ravel()
+            ib = np.tile(i_of, (1, nbl)).ravel()
+            keys = ia * n2d + ib
+            uniq, inv = np.unique(keys, return_inverse=True)
+            E = len(uniq)
+            rows2d = (uniq // n2d).astype(np.int32)
+            cols2d = (uniq % n2d).astype(np.int32)
+            diag_keys = np.arange(n2d, dtype=np.int64) * (n2d + 1)
+            diag_pos = np.searchsorted(uniq, diag_keys)
+            assert (uniq[diag_pos] == diag_keys).all(), \
+                "missing diagonal pairs"
+        # (delta d, pair e, row plane l) -> segment id; delta-major so
+        # the value tensor lands in the (bs, bs, 3, E, Lp) layout
+        seg = ((delta + 1) * E + inv) * Lp + la
+        ell_pos = seg.reshape(mesh.cells.shape[0], nbl, nbl) \
+            .astype(np.int32)
+
+    from .assembly import ASM_CHUNK
+
     nnz_layer = E * 3 * Lp
-    cd_p, cc_p, ep_p = pad_cells_for_chunks(
-        np.asarray(space.cell_dofs_w, np.int32), coords, ell_pos,
-        space.ndofs, nnz_layer)
+    nc = mesh.cells.shape[0]
+    # pad directly into preallocated arrays (a concatenate here copies
+    # ~400 MB of already-final data at 1.45M cells); gather coordinates
+    # in the TARGET dtype — an f32 gather moves half the bytes of the
+    # f64 gather + device-put cast it replaces
+    nc_pad = nc if nc <= ASM_CHUNK else -(-nc // ASM_CHUNK) * ASM_CHUNK
+    np_dtype = np.dtype(jnp.zeros(0, dtype).dtype.name)
+    pts = np.ascontiguousarray(mesh.points, dtype=np_dtype)
+    cc_p = np.empty((nc_pad,) + (nbl, pts.shape[1]), np_dtype)
+    cc_p[:nc] = pts[mesh.cells]
+    cdw = np.asarray(space.cell_dofs_w, np.int32)
+    cd_p = np.empty((nc_pad, cdw.shape[1]), np.int32)
+    cd_p[:nc] = cdw
+    ep_p = np.empty((nc_pad, nbl, nbl), np.int32)
+    ep_p[:nc] = ell_pos
+    if nc_pad > nc:
+        cc_p[nc:] = cc_p[0]          # padded cells reuse cell 0 coords
+        cd_p[nc:] = space.ndofs      # scatter into the trash dof
+        ep_p[nc:] = nnz_layer        # scatter into the trash segment
     arrays = LayeredArrays(
         cell_dofs=jnp.asarray(cd_p, jnp.int32),
         cell_coords=jnp.asarray(cc_p, dtype),

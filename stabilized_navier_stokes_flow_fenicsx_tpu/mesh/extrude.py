@@ -132,7 +132,7 @@ def extrude_channel(
         assert lc is not None
         x_planes = grade_layers(geom, lc)
     pts2 = tri.mesh.points                     # (np2, 2) = (y, z)
-    tris = tri.mesh.cells.astype(np.int64)     # (nt, 3)
+    tris = tri.mesh.cells.astype(np.int32)     # (nt, 3)
     np2 = pts2.shape[0]
     nl = len(x_planes) - 1
 
@@ -148,25 +148,35 @@ def extrude_channel(
         keep = np.ones(tris.shape[0], dtype=bool)
         if x_planes[l + 1] <= geom.x_extrude + tol:
             keep = tri.regions != 1
-        bot = tris[keep] + l * np2
-        top = tris[keep] + (l + 1) * np2
+        bot = tris[keep] + np.int32(l * np2)
+        top = tris[keep] + np.int32((l + 1) * np2)
         all_prisms.append(np.concatenate([bot, top], axis=1))
     prisms = np.concatenate(all_prisms, axis=0)
-    tets = split_prisms(prisms)
 
-    used = np.unique(tets.ravel())
+    from ..utils.native import split_prisms_oriented_native
+
+    tets = split_prisms_oriented_native(points, prisms)
+    oriented = tets is not None
+    if not oriented:
+        tets = split_prisms(prisms.astype(np.int64))
+
+    # linear used-node mark (np.unique sorts 4*nc ids: ~0.7 s at 1.45M
+    # cells on the single-core bench host)
+    used_mask = np.zeros(points.shape[0], dtype=bool)
+    used_mask[tets.ravel()] = True
     if compact:
         # drop unused nodes (interior of the solid splitter)
+        used = np.nonzero(used_mask)[0]
         remap = -np.ones(points.shape[0], dtype=np.int64)
         remap[used] = np.arange(len(used))
         mesh = SimplexMesh(
             "tetrahedron", points[used], remap[tets].astype(np.int32))
     else:
-        mesh = SimplexMesh("tetrahedron", points, tets.astype(np.int32))
-        used_mask = np.zeros(points.shape[0], dtype=bool)
-        used_mask[used] = True
+        mesh = SimplexMesh("tetrahedron", points,
+                           np.asarray(tets, np.int32))
         mesh.layered = (np2, len(x_planes), used_mask)
-    mesh.orient_positive()
+    if not oriented:
+        mesh.orient_positive()
 
     # facet markers from the actual boundary
     bf = boundary_facets(mesh)

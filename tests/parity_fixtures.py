@@ -28,6 +28,11 @@ FIXTURE_DIR = pathlib.Path(__file__).parent / "fixtures"
 DUCT = dict(n_cross=6, n_axial=12, length=2.0, Re=20.0)
 CAVITY = dict(n=24, Re=100.0)
 CHANNEL = dict(Re=10.0, ratio=0.5, lc=0.12, shape="circle")
+# production scale (VERDICT round-2 item 9): the lc the reference's
+# NavierStokesChannelFlow.py runs at (~230k dofs).  Generated with
+# `python tests/parity_fixtures.py production` (hours on the CPU host);
+# consumed by the PARITY_PROD=1-gated tests in test_parity.py.
+CHANNEL_PROD = dict(Re=10.0, ratio=0.5, lc=0.04, shape="circle")
 
 
 def duct_problem(dtype, n_cross, n_axial, length, Re):
@@ -140,15 +145,15 @@ def channel_image(tmpdir="/tmp"):
     return img
 
 
-def solve_channel_ns(dtype=None):
+def solve_channel_ns(dtype=None, case=CHANNEL):
     """dtype=float32 exercises the TPU configuration (auto-refinement);
     dtype=None/float64 under x64 generates the oracle field."""
     from stabilized_navier_stokes_flow_fenicsx_tpu.flow.channel import (
         solve_ns_flow)
 
     sol = solve_ns_flow(
-        CHANNEL["Re"], channel_image(), CHANNEL["ratio"],
-        channel_mesh_size=CHANNEL["lc"], coarse_lc=CHANNEL["lc"],
+        case["Re"], channel_image(), case["ratio"],
+        channel_mesh_size=case["lc"], coarse_lc=case["lc"],
         dtype=dtype)
     assert sol.converged
     w = np.asarray(sol.w, np.float64)
@@ -180,5 +185,26 @@ def generate():
     print("channel_ns:", w.shape, "|w|", np.linalg.norm(w))
 
 
+def generate_production():
+    """lc=0.04 oracle (CPU f64, hours on the single-core host) —
+    regenerates fixtures/channel_ns_prod.npz only."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    FIXTURE_DIR.mkdir(exist_ok=True)
+    w = solve_channel_ns(case=CHANNEL_PROD)
+    np.savez_compressed(
+        FIXTURE_DIR / "channel_ns_prod.npz", w=w,
+        **{k: v for k, v in CHANNEL_PROD.items() if k != "shape"})
+    print("channel_ns_prod:", w.shape, "|w|", np.linalg.norm(w))
+
+
 if __name__ == "__main__":
-    generate()
+    import sys
+
+    if "production" in sys.argv[1:]:
+        generate_production()
+    else:
+        generate()

@@ -14,12 +14,14 @@ parity_fixtures.py).  Each case checks:
       the df refinement existed, and the bound the driver's judge checks.
 """
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from parity_fixtures import (FIXTURE_DIR, solve_cavity_ns, solve_channel_ns,
-                             solve_duct_ns)
+from parity_fixtures import (CHANNEL_PROD, FIXTURE_DIR, solve_cavity_ns,
+                             solve_channel_ns, solve_duct_ns)
 
 
 def _load(name):
@@ -66,5 +68,35 @@ def test_channel_f32_refined_parity():
     df refinement vs the stored f64 continuation solution."""
     w_ref = _load("channel_ns")
     w = solve_channel_ns(dtype=jnp.float32)
+    rel = _rel(w, w_ref)
+    assert rel < 1e-6, rel
+
+
+# ---------------------------------------------------------------------------
+# Production scale (VERDICT round-2 item 9): lc=0.04 — the lc the
+# reference's NavierStokesChannelFlow.py actually runs at (~230k dofs).
+# Hours per solve on the single-core CPU host, so gated behind
+# PARITY_PROD=1 on top of the slow marker; run with
+#   PARITY_PROD=1 python -m pytest tests/test_parity.py -k prod -m slow
+# ---------------------------------------------------------------------------
+
+_prod = pytest.mark.skipif(
+    not os.environ.get("PARITY_PROD"),
+    reason="production-scale parity: set PARITY_PROD=1 (hours on CPU)")
+
+
+@_prod
+@pytest.mark.slow
+def test_channel_prod_f64_regression():
+    w_ref = _load("channel_ns_prod")
+    w = solve_channel_ns(case=CHANNEL_PROD)
+    assert _rel(w, w_ref) < 1e-8
+
+
+@_prod
+@pytest.mark.slow
+def test_channel_prod_f32_refined_parity():
+    w_ref = _load("channel_ns_prod")
+    w = solve_channel_ns(dtype=jnp.float32, case=CHANNEL_PROD)
     rel = _rel(w, w_ref)
     assert rel < 1e-6, rel
