@@ -54,8 +54,13 @@ if os.environ.get("BENCH_CPU"):
 # converges quadratically from the Stokes init (~4 steps) and the df
 # refinement stage only needs ksp_rtol 1e-2, so capped inner solves
 # suffice.
-HEADLINE_PC = "mg_jacobi_bf16"
-CONVERGED_PC = "mg_jacobi_bf16"
+#   ROUND-3 CANDIDATE: mg_cheby (Chebyshev-accelerated block-Jacobi
+#   smoothing, solve/mg.py) halves the NS-Jacobian counts vs mg_jacobi
+#   (185->92 at 70k dofs, 508->223 at 166k) at the same fully-parallel
+#   per-sweep structure — flip the default once its compile is proven
+#   on the tunneled TPU at 1.05M.  BENCH_PC overrides for A/B runs.
+HEADLINE_PC = os.environ.get("BENCH_PC", "mg_jacobi_bf16")
+CONVERGED_PC = HEADLINE_PC
 
 
 def _budget() -> float:
@@ -364,6 +369,29 @@ def main():
     deadline = t_start + _budget()
     lc0 = float(args[0]) if args else 0.024
     state_file = tempfile.mktemp(prefix="bench_state_")
+
+    # The tunneled TPU relay sometimes wedges for tens of minutes (device
+    # init hangs, round-3 observation): a doomed first attempt would
+    # otherwise hang until the subprocess timeout and burn the entire
+    # budget.  Probe with a trivial jit in a short-lived child and wait
+    # out a wedge while budget allows.
+    if not os.environ.get("BENCH_CPU"):
+        probe = ("import jax, jax.numpy as jnp; "
+                 "jax.jit(lambda a: a + 1)(jnp.ones(4)).block_until_ready()")
+
+        def _tpu_alive():
+            try:
+                return subprocess.run(
+                    [sys.executable, "-c", probe], timeout=180,
+                    cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+                ).returncode == 0
+            except subprocess.TimeoutExpired:
+                return False
+
+        while deadline - time.time() > 420 and not _tpu_alive():
+            _note("bench: TPU backend unresponsive — waiting 120 s "
+                  "for the relay to recover")
+            time.sleep(120)
     env = dict(os.environ,
                BENCH_DEADLINE=str(deadline - 10),
                BENCH_STATE=state_file)

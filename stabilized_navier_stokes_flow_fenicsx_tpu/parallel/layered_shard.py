@@ -218,7 +218,7 @@ def shard_layered_inputs(lp, mask, g, w0, device_mesh: Mesh,
 
 
 @partial(jax.jit,
-         static_argnums=(0, 1, 2, 3, 4, 5, 6, 7) + tuple(range(13, 19)))
+         static_argnums=(0, 1, 2, 3, 4, 5, 6, 7) + tuple(range(14, 21)))
 def _sharded_newton_layered(
     kernel: Callable,
     n2d: int,
@@ -233,12 +233,14 @@ def _sharded_newton_layered(
     mask: jnp.ndarray,
     g: jnp.ndarray,
     w0: jnp.ndarray,
+    hier=None,                    # MGHierarchy (pytree) when pc='mg'
     rtol: float = 1e-8,
     atol: float = 1e-8,
     max_it: int = 30,
     ksp_rtol: float = 1e-8,
     ksp_restart: int = 50,
     ksp_max_restarts: int = 40,
+    pc: str = "jacobi",
 ) -> NewtonResult:
     xs = NamedSharding(device_mesh, P(axis))
     ds = NamedSharding(device_mesh, P(axis, None, None))
@@ -259,10 +261,34 @@ def _sharded_newton_layered(
             return mask * y + (1.0 - mask) * x
         return op
 
-    def make_pc(values):
-        d = jax.lax.with_sharding_constraint(
-            layered_diag_blocks(arrays, n2d, values), ds)
-        return block_jacobi(d, mask)
+    if pc == "mg":
+        # the aggregation V-cycle under the SPMD partitioner (the
+        # scaling-book recipe rather than shard_map): the fine-level
+        # smoother/matvec/RAP tensors stay plane-sharded — the only
+        # constraint that matters at scale — and XLA partitions the
+        # plane-paired restriction segment-sums into nearest-neighbour
+        # exchanges; the coarse levels (Lp/2^k planes, eventually fewer
+        # than devices) and the tiny dense coarse inverse are left to
+        # the partitioner, which replicates them (they are noise next
+        # to one fine SpMV).
+        from ..solve.mg import make_mg_pc
+
+        def make_pc(values):
+            values = jax.lax.with_sharding_constraint(
+                values, NamedSharding(device_mesh,
+                                      P(None, None, None, None, axis)))
+            M = make_mg_pc(hier, values, arrays.cols, arrays.row_ids,
+                           arrays.diag_pos, mask, n2d, n_planes,
+                           smoother="cheby")
+
+            def pc_apply(r):
+                return jax.lax.with_sharding_constraint(M(r), xs)
+            return pc_apply
+    else:
+        def make_pc(values):
+            d = jax.lax.with_sharding_constraint(
+                layered_diag_blocks(arrays, n2d, values), ds)
+            return block_jacobi(d, mask)
 
     return newton_solve(
         residual, jac_values, make_op, make_pc, w0,
@@ -278,11 +304,17 @@ def sharded_newton_layered(
     w0,
     device_mesh: Mesh,
     axis: str = "planes",
+    pc: str = "jacobi",
+    mg_levels: int = 3,
     **tols,
 ) -> NewtonResult:
     """Plane-sharded Newton solve on the layered operator with
     slab-partitioned element work (each device assembles only its ~nc/D
     cells; one-plane ppermute halo).
+
+    pc='mg' preconditions with the aggregation V-cycle (Chebyshev-Jacobi
+    smoothing) under the SPMD partitioner — the mesh-independent PC on
+    the multi-chip path (the reference's hypre-class role under MPI).
 
     ``lp.n_planes`` must be a multiple of ``device_mesh.shape[axis]``
     (use build_layered(space, n2d, padded_planes(Lp, D)) + pad_mask_g).
@@ -291,6 +323,16 @@ def sharded_newton_layered(
     assert lp.n_planes % D == 0, (lp.n_planes, D)
     arrays, slab, meta, (mask_s, g_s, w0_s) = shard_layered_inputs(
         lp, mask, g, w0, device_mesh, axis)
+    hier = None
+    if pc == "mg":
+        from ..solve.mg import build_mg_hierarchy
+
+        hier = build_mg_hierarchy(
+            np.asarray(lp.pattern_like.row_ids),
+            np.asarray(lp.pattern_like.indices),
+            lp.n2d, lp.n_planes,
+            np.asarray(mask, np.float32), lp.bs, n_levels=mg_levels)
     return _sharded_newton_layered(
         kernel, lp.n2d, lp.n_planes, lp.bs, lp.E, meta["Lq"],
-        device_mesh, axis, arrays, slab, mask_s, g_s, w0_s, **tols)
+        device_mesh, axis, arrays, slab, mask_s, g_s, w0_s, hier,
+        pc=pc, **tols)

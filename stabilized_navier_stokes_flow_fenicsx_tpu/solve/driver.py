@@ -40,6 +40,7 @@ def _layered_pc(pc, arrays, n2d, n_planes, mask, mg=None):
     iteration counts; requires the ``mg`` hierarchy argument.
     """
     if pc in ("mg", "mg_bf16", "mg_jacobi", "mg_jacobi_bf16",
+              "mg_cheby", "mg_cheby_bf16",
               "mg_grouped", "mg_grouped_bf16", "mg_line", "mg_line_bf16",
               "mg_lined", "mg_lined_bf16", "mg_linej", "mg_linej_bf16",
               "mg_zebra", "mg_zebra_bf16"):
@@ -48,6 +49,7 @@ def _layered_pc(pc, arrays, n2d, n_planes, mask, mg=None):
         assert mg is not None, "pc='mg' needs a build_mg_hierarchy result"
         dt = jnp.bfloat16 if pc.endswith("bf16") else None
         sm = ("jacobi" if pc.startswith("mg_jacobi")
+              else "cheby" if pc.startswith("mg_cheby")
               else "grouped" if pc.startswith("mg_grouped")
               else "lined" if pc.startswith("mg_lined")
               else "linej" if pc.startswith("mg_linej")

@@ -86,6 +86,45 @@ def test_plane_sharded_matches_single_device():
     assert np.abs(np.asarray(out8.x)[W.ndofs:]).max() == 0.0
 
 
+def test_plane_sharded_mg_matches_single_device():
+    """pc='mg' on the sharded path (VERDICT round-2 'sharded PC is
+    block-Jacobi only'): the aggregation V-cycle with Chebyshev-Jacobi
+    smoothing runs under the SPMD partitioner and matches the
+    single-device mg_cheby solve."""
+    from stabilized_navier_stokes_flow_fenicsx_tpu.solve.mg import (
+        build_mg_hierarchy)
+
+    mesh, W, mask, g, kern = _duct_layered()
+    n2d, Lp, _ = mesh.layered
+
+    lp1 = build_layered(W, n2d, Lp)
+    hier = build_mg_hierarchy(
+        np.asarray(lp1.pattern_like.row_ids),
+        np.asarray(lp1.pattern_like.indices),
+        lp1.n2d, lp1.n_planes, np.asarray(mask, np.float32), lp1.bs,
+        n_levels=2)
+    out1 = solve_newton_layered(
+        kern, lp1.n2d, lp1.n_planes, lp1.bs, lp1.arrays,
+        jnp.asarray(mask), jnp.asarray(g), jnp.asarray(g), lp1.E,
+        1e-12, 1e-12, 30, 1e-10, 50, 40, "mg_cheby", hier)
+    assert bool(out1.converged)
+
+    devs = jax.devices()
+    dmesh = Mesh(np.array(devs[:8]), ("planes",))
+    Lp_pad = padded_planes(Lp, 8)
+    lp8 = build_layered(W, n2d, Lp_pad)
+    mask_p, g_p = pad_mask_g(mask, g, n2d * Lp_pad * lp8.bs)
+    out8 = sharded_newton_layered(
+        kern, lp8, mask_p, g_p, g_p, dmesh, pc="mg", mg_levels=2,
+        rtol=1e-12, atol=1e-12, max_it=30, ksp_rtol=1e-10)
+    assert bool(out8.converged)
+
+    x1 = np.asarray(out1.x)
+    x8 = np.asarray(out8.x)[: W.ndofs]
+    rel = np.linalg.norm(x8 - x1) / np.linalg.norm(x1)
+    assert rel < 1e-8, rel
+
+
 def test_slab_partition_divides_work():
     """VERDICT round-2 item 4 acceptance: the slab partition gives every
     device ~nc/D cells (work division by construction, not replication),

@@ -83,6 +83,19 @@ def test_mg_jacobi_smoother(channel_image):
         int(mg_res.iters), int(res.iters))
 
 
+def test_mg_cheby_smoother(channel_image):
+    """Chebyshev-accelerated block-Jacobi smoothing: same fully-parallel
+    structure as 'jacobi', ~2x fewer Krylov iterations (measured 185->92
+    at 70k dofs, 508->223 at 166k on the NS Jacobian)."""
+    jac_res, x_jac = _solve(channel_image, 0.15, "mg_jacobi")
+    res, x = _solve(channel_image, 0.15, "mg_cheby")
+    assert bool(res.converged)
+    rel = np.linalg.norm(x - x_jac) / np.linalg.norm(x_jac)
+    assert rel < 1e-6, rel
+    assert int(res.iters) <= int(jac_res.iters), (
+        int(jac_res.iters), int(res.iters))
+
+
 def test_mg_grouped_smoother(channel_image):
     """Grouped-plane-GS smoother: plane-GS-class strength at 1/8 the
     scan latency (the variant that compiles inside Newton at scale)."""
