@@ -223,6 +223,8 @@ def make_mg_pc(
     coarse: str = "dense",
     dense_cap: int = 8192,
     cycle_type: str = "v",
+    cheby_degree: int = 3,
+    cheby_alpha: float = 4.0,
 ) -> Callable:
     """V-cycle preconditioner closure r -> x for the layered operator.
 
@@ -346,13 +348,13 @@ def make_mg_pc(
             _, lmax = jax.lax.fori_loop(0, 12, _pow,
                                         (v0, jnp.float32(1.0)))
             ub = 1.1 * jnp.maximum(lmax, jnp.float32(1e-6))
-            lb = ub / 4.0
+            lb = ub / cheby_alpha
             theta = 0.5 * (ub + lb)
             delta = 0.5 * (ub - lb)
             sigma = theta / delta
 
             def sm(r, Dinv=Dinv, mvk=mvk, theta=theta, delta=delta,
-                   sigma=sigma, q=3):
+                   sigma=sigma, q=cheby_degree):
                 rf = r.astype(jnp.float32)
                 x = Dinv(rf) / theta
                 dx = x
