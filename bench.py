@@ -54,11 +54,12 @@ if os.environ.get("BENCH_CPU"):
 # converges quadratically from the Stokes init (~4 steps) and the df
 # refinement stage only needs ksp_rtol 1e-2, so capped inner solves
 # suffice.
-#   ROUND-3 CANDIDATE: mg_cheby (Chebyshev-accelerated block-Jacobi
-#   smoothing, solve/mg.py) halves the NS-Jacobian counts vs mg_jacobi
-#   (185->92 at 70k dofs, 508->223 at 166k) at the same fully-parallel
-#   per-sweep structure — flip the default once its compile is proven
-#   on the tunneled TPU at 1.05M.  BENCH_PC overrides for A/B runs.
+#   ROUND-3 CANDIDATE: mg_cheby (degree-4 Chebyshev-accelerated
+#   block-Jacobi smoothing, solve/mg.py) makes the V-cycle near
+#   mesh-independent on the NS Jacobian — 18 its at 70k dofs, 25 at
+#   166k (mg_jacobi: 185/508) at the same fully-parallel per-sweep
+#   structure — flip the default once its compile is proven on the
+#   tunneled TPU at 1.05M.  BENCH_PC overrides for A/B runs.
 HEADLINE_PC = os.environ.get("BENCH_PC", "mg_jacobi_bf16")
 CONVERGED_PC = HEADLINE_PC
 
