@@ -61,12 +61,16 @@ def newton_solve(
     hist0 = jnp.full((max(max_it, 1), 4), -1.0, x0.dtype)
 
     def cond(s):
-        x, fnorm, it, stalled, hist = s
+        x, F, fnorm, it, stalled, hist = s
         return (fnorm > tol) & (it < max_it) & (~stalled)
 
     def body(s):
-        x, fnorm, it, _, hist = s
-        F = residual(x)
+        # the residual VECTOR rides in the loop state: the line search
+        # already evaluates F at the accepted iterate, so re-assembling
+        # it at the top of the next iteration (~0.3 s at bench scale)
+        # would be pure waste — stepped max_it=1 dispatches hit that
+        # once per dispatch
+        x, F, fnorm, it, _, hist = s
         vals = jac_values(x)
         A = make_operator(vals)
         M = make_pc(vals)
@@ -78,33 +82,39 @@ def newton_solve(
         # full-step-accepted case costs ONE residual evaluation, not
         # max_backtracks of them (residuals are ~0.3 s at bench scale)
         def ls_cond(carry):
-            lam, best_norm, accepted, k = carry
+            lam, best_F, best_norm, accepted, k = carry
             return (~accepted) & (k < max_backtracks)
 
         def ls_body(carry):
-            lam, best_norm, accepted, k = carry
-            trial = jnp.linalg.norm(residual(x + lam * dx))
+            lam, best_F, best_norm, accepted, k = carry
+            Ft = residual(x + lam * dx)
+            trial = jnp.linalg.norm(Ft)
             good = trial < (1.0 - 1e-4 * lam) * fnorm
+            best_F = jnp.where(good, Ft, best_F)
             best_norm = jnp.where(good, trial, best_norm)
             lam_out = jnp.where(good, lam, lam * 0.5)
-            return (lam_out, best_norm, good, k + 1)
+            return (lam_out, best_F, best_norm, good, k + 1)
 
         lam0 = jnp.ones((), x.dtype)
-        lam, new_norm, accepted, _ = jax.lax.while_loop(
+        lam, F_new, new_norm, accepted, _ = jax.lax.while_loop(
             ls_cond, ls_body,
-            (lam0, fnorm, jnp.array(False), jnp.array(0, jnp.int32)))
+            (lam0, F, fnorm, jnp.array(False), jnp.array(0, jnp.int32)))
         # if nothing helped, take the full step anyway (SNES would diverge;
         # we flag the stall instead and report converged=False)
         lam = jnp.where(accepted, lam, 1.0)
         x_new = x + lam * dx
-        new_norm = jax.lax.cond(
-            accepted, lambda: new_norm,
-            lambda: jnp.linalg.norm(residual(x_new)))
+
+        def _full_step():
+            Ff = residual(x_new)
+            return Ff, jnp.linalg.norm(Ff)
+
+        F_new, new_norm = jax.lax.cond(
+            accepted, lambda: (F_new, new_norm), _full_step)
         stalled = (~accepted) & (new_norm >= fnorm)
         hist = hist.at[it].set(jnp.stack([
             new_norm, lam, sol.iters.astype(x.dtype), sol.resnorm]))
-        return (x_new, new_norm, it + 1, stalled, hist)
+        return (x_new, F_new, new_norm, it + 1, stalled, hist)
 
-    state = (x0, n0, jnp.array(0, jnp.int32), jnp.array(False), hist0)
-    x, fnorm, it, stalled, hist = jax.lax.while_loop(cond, body, state)
+    state = (x0, f0, n0, jnp.array(0, jnp.int32), jnp.array(False), hist0)
+    x, _F, fnorm, it, stalled, hist = jax.lax.while_loop(cond, body, state)
     return NewtonResult(x, it, fnorm, fnorm <= tol, hist, stalled)
