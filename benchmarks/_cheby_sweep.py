@@ -7,10 +7,18 @@ FGMRES(50) to rtol 1e-5, 3-level V-cycle with dense exact coarse:
   lc=0.045 (166k):      q3_a4 223 | q4_a4  25 | q4_a3 26 | q5_a4 28 | q3_a2 45
   lc=0.035 (345k):                  q4_a4  35 | q3_a2 76
 
-Conclusions: degree 4 + alpha 4 is near mesh-independent and robust;
-alpha=8 reaches too far down the nonsymmetric spectrum and diverges.
-Defaults set in solve/mg.py (cheby_degree=4, cheby_alpha=4).
-Run: python benchmarks/_cheby_sweep.py [lc]
+Reynolds robustness (lc=0.06, Jacobian at the COLD Stokes init):
+  Re=40: q4_a4 43 its | q3_a2 101
+  Re=70: both fail (2000 its) — at a state that far from the Re=70
+  solution the Jacobian is advection-dominated end to end; the
+  production continuation never solves there (it ladders Re>=50 from
+  warm starts), and the Newton production default stays plane_gs.
+
+Conclusions: degree 4 + alpha 4 is near mesh-independent and robust at
+the bench regime; alpha=8 reaches too far down the nonsymmetric
+spectrum and diverges.  Defaults in solve/mg.py (cheby_degree=4,
+cheby_alpha=4).  Run: python benchmarks/_cheby_sweep.py [lc]
+  (RE=<n> env overrides the Reynolds number.)
 """
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
