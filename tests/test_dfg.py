@@ -16,6 +16,15 @@ Measured convergence with the reflection-symmetric annulus band
   3D Cd (textbook SUPS residual): scale 2.0 -> +1.55%, 1.5 -> +0.66%,
          (1.5, cf 0.6) -> -1.06%, (1.2, cf 0.6) -> +0.72% (was
          +9.7%/+6.6% without the band).
+
+Lift-error attribution (round-3 probe): at scale 1.0, refining ONLY the
+cylinder neighbourhood (cyl_factor 0.5 -> 0.25 -> 0.125) moves Cl error
+just +67.7% -> +58.4% -> +56.3% while global refinement (scale 0.5)
+reaches -24% — the remaining error is GLOBAL wake/channel resolution,
+not wall geometry.  The reference closes it by brute force: its
+"fine" gmsh config sizes the wall at lc ~ 0.002*r (dfg_pillar_2D.geo:24,
+~10x finer than our scale-0.35 test config) and runs MUMPS on a
+cluster; matching that is a mesh-budget choice, not a modeling gap.
 """
 
 import numpy as np
