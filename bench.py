@@ -54,12 +54,15 @@ if os.environ.get("BENCH_CPU"):
 # converges quadratically from the Stokes init (~4 steps) and the df
 # refinement stage only needs ksp_rtol 1e-2, so capped inner solves
 # suffice.
-#   ROUND-3 CANDIDATE: mg_cheby (degree-4 Chebyshev-accelerated
+#   ROUND-3 UPDATE: mg_cheby (degree-4 Chebyshev-accelerated
 #   block-Jacobi smoothing, solve/mg.py) makes the V-cycle near
 #   mesh-independent on the NS Jacobian — 18 its at 70k dofs, 25 at
-#   166k (mg_jacobi: 185/508) at the same fully-parallel per-sweep
-#   structure — flip the default once its compile is proven on the
-#   tunneled TPU at 1.05M.  BENCH_PC overrides for A/B runs.
+#   166k, 35 at 345k (mg_jacobi: 185/508/-) at the same fully-parallel
+#   per-sweep structure.  Its compile at 1.05M on the tunneled TPU is
+#   unproven (the relay was wedged all of round-3's session), so the
+#   attempt ladder in main() tries mg_cheby_bf16 FIRST and demotes to
+#   the 1.05M-proven mg_jacobi_bf16 in a fresh child on any failure.
+#   BENCH_PC pins a single PC for A/B runs.
 HEADLINE_PC = os.environ.get("BENCH_PC", "mg_jacobi_bf16")
 CONVERGED_PC = HEADLINE_PC
 
@@ -176,6 +179,7 @@ def run_bench(lc: float, newton_its: int = 5):
     return {
         "ndofs": W.ndofs,
         "n_cells": mesh.n_cells,
+        "pc": HEADLINE_PC,
         "setup_s": round(setup_s, 2),
         "first_run_s": round(first_s, 2),
         "steady_s": round(steady_s, 3),
@@ -320,8 +324,8 @@ def emit(info):
         "unit": "s",
         "vs_baseline": vs,
     }
-    for k in ("converged_solve_s", "converged_newton_its", "refine_its",
-              "converged_rel_resnorm", "converged"):
+    for k in ("pc", "converged_solve_s", "converged_newton_its",
+              "refine_its", "converged_rel_resnorm", "converged"):
         if k in info:
             line[k] = info[k]
     print(json.dumps(line), flush=True)
@@ -399,8 +403,19 @@ def main():
     env = dict(os.environ,
                BENCH_DEADLINE=str(deadline - 10),
                BENCH_STATE=state_file)
+    # attempt ladder over (mesh, preconditioner): the Chebyshev-smoothed
+    # V-cycle first (2-5x fewer Krylov its; TPU compile at 1.05M
+    # unproven), demoting to the 1.05M-proven mg_jacobi_bf16 in a FRESH
+    # child on any failure.  An explicit BENCH_PC pins one PC (A/B).
+    user_pc = os.environ.get("BENCH_PC")
+    if user_pc:
+        attempts = [(lc0, user_pc), (0.035, user_pc)]
+    else:
+        attempts = [(lc0, "mg_cheby_bf16"), (lc0, "mg_jacobi_bf16"),
+                    (0.035, "mg_jacobi_bf16")]
     state = None
-    for try_lc in (lc0, 0.035):
+    pc_used = None
+    for try_lc, pc in attempts:
         remaining = deadline - time.time() - 5
         if remaining < 120:
             break
@@ -412,8 +427,8 @@ def main():
             subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--child",
                  str(try_lc)],
-                env=env, timeout=remaining, cwd=os.path.dirname(
-                    os.path.abspath(__file__)) or ".")
+                env=dict(env, BENCH_PC=pc), timeout=remaining,
+                cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
         except subprocess.TimeoutExpired:
             pass
         try:
@@ -421,9 +436,10 @@ def main():
         except Exception:
             state = {}
         if state.get("printed"):
+            pc_used = pc
             break                       # headline is on stdout
-        _note(f"bench: attempt at lc={try_lc} produced no headline; "
-              "falling back")
+        _note(f"bench: attempt lc={try_lc} pc={pc} produced no "
+              "headline; falling back")
         state = None
     if state and state.get("printed"):
         # converged companion in its OWN process: a TPU worker crash in
@@ -434,7 +450,8 @@ def main():
                 subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--child-converged", str(state["lc"])],
-                    env=env, timeout=remaining, cwd=os.path.dirname(
+                    env=dict(env, BENCH_PC=pc_used),
+                    timeout=remaining, cwd=os.path.dirname(
                         os.path.abspath(__file__)) or ".")
             except subprocess.TimeoutExpired:
                 pass
