@@ -102,8 +102,6 @@ def build_problem(lc: float):
         _setup_layered, generate_channel_mesh)
     from stabilized_navier_stokes_flow_fenicsx_tpu.flow.inlet import (
         solve_inlet_profiles)
-    from stabilized_navier_stokes_flow_fenicsx_tpu.solve.mg import (
-        build_mg_hierarchy)
     from stabilized_navier_stokes_flow_fenicsx_tpu.utils.testimg import (
         make_annulus_image)
 
