@@ -417,8 +417,9 @@ def solve_newton_layered_stepped(
         its += 1
         stalled = bool(out.stalled)
         if new_rn >= rn:          # f32 floor/stall: keep the BETTER
-            stalled = True        # iterate (out.x is the worse one —
-            break                 # the stall fallback took a full step)
+            stalled = True        # iterate (newton_solve itself now
+            break                 # keeps the pre-step x on stall, so
+                                  # this is belt + suspenders)
         w = out.x
         rn = new_rn
         if stalled:

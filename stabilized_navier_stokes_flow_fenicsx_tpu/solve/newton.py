@@ -113,6 +113,13 @@ def newton_solve(
         stalled = (~accepted) & (new_norm >= fnorm)
         hist = hist.at[it].set(jnp.stack([
             new_norm, lam, sol.iters.astype(x.dtype), sol.resnorm]))
+        # on stall KEEP the pre-step iterate (SNES line-search-divergence
+        # semantics: the last good iterate is the result) — consumers
+        # that ignore `stalled` no longer get a silently degraded x;
+        # hist still records the rejected step's ||F||
+        x_new = jnp.where(stalled, x, x_new)
+        F_new = jnp.where(stalled, F, F_new)
+        new_norm = jnp.where(stalled, fnorm, new_norm)
         return (x_new, F_new, new_norm, it + 1, stalled, hist)
 
     state = (x0, f0, n0, jnp.array(0, jnp.int32), jnp.array(False), hist0)
