@@ -58,12 +58,19 @@ if os.environ.get("BENCH_CPU"):
 #   block-Jacobi smoothing, solve/mg.py) makes the V-cycle near
 #   mesh-independent on the NS Jacobian — 18 its at 70k dofs, 25 at
 #   166k, 35 at 345k (mg_jacobi: 185/508/-) at the same fully-parallel
-#   per-sweep structure.  Its compile at 1.05M on the tunneled TPU is
-#   unproven (the relay was wedged all of round-3's session), so the
-#   attempt ladder in main() tries mg_cheby_bf16 FIRST and demotes to
-#   the 1.05M-proven mg_jacobi_bf16 in a fresh child on any failure.
+#   per-sweep structure.
+#   ROUND-3 UPDATE 2 (the 1M-dof stall root cause): at evolved NS
+#   states above ~500k dofs the D^-1 A spectrum goes complex/nonnormal;
+#   the old final-sample power iteration underestimated |lambda|max by
+#   25-40% and the degree-4 polynomial AMPLIFIED the modes above the
+#   interval (V-cycle rho > 1, FGMRES flatlined at ~1.3x per 200 its —
+#   CPU-reproduced, solve/mg.py::_lam_max_tail docstring).  Fixed by
+#   the tail-max estimate + safety 1.4 + alpha 3 + DEGREE 6 (degree 4
+#   diverges at the 1.05M hard state even with the correct interval —
+#   the T_q(sigma) normalization sets the complex-plane safe region):
+#   measured V-cycle rho 0.86 at the previous stall state.
 #   BENCH_PC pins a single PC for A/B runs.
-HEADLINE_PC = os.environ.get("BENCH_PC", "mg_jacobi_bf16")
+HEADLINE_PC = os.environ.get("BENCH_PC", "mg_cheby6_bf16")
 CONVERGED_PC = HEADLINE_PC
 
 
@@ -223,23 +230,37 @@ def run_converged(info, ctx):
     sres = stokes_step(g, 1e-6, 30, max_it=1, pc=pc)
     w = sres.x
     _note(f"conv: stokes {time.time() - t0:.1f}s |r|={float(sres.resnorm):.3e}")
-    r0 = float(step(w, 1e-3, 4, max_it=0).resnorm)     # ||F(x_stokes)||
+    # ||F(x_stokes)|| via the SMALL assembly-only program — a fresh
+    # max_it=0 Newton program at 1.05M crashed the tunneled TPU worker
+    # (round-3 measurement: every distinct static-arg tuple is a fresh
+    # ~5-minute compile at this scale, and big fresh compiles can kill
+    # the relay).
+    from stabilized_navier_stokes_flow_fenicsx_tpu.solve.driver import (
+        residual_norm_layered)
+
+    ns_k = make_ns_sups_kernel("tetrahedron", nu=1.0 / 10.0)
+    r0 = float(residual_norm_layered(
+        ns_k, lp.n2d, lp.n_planes, lp.bs, lp.arrays, mask, g, w, lp.E))
     tol = 1e-8 * r0
     info["converged_r0"] = r0
     # f32 Newton descends to its absolute noise floor; the df refinement
     # below continues to the reference tolerance.
     its, rn = 0, r0
     last_step_s = 0.0
+    # Chebyshev V-cycle: reuse the HEADLINE step program verbatim
+    # (ksp_rtol 1e-3, 4 restarts = 200 its — mesh-near-independent counts
+    # make the cap ample, and an inexact-Newton forcing of 1e-3 reaches
+    # 1e-6 relative in ~3 steps).  Weaker PCs need the deep cap (the
+    # 400-it cap is what flatlined round 2's companion) — accept the
+    # fresh compile there.  atol stays 0.0: the host loop below enforces
+    # the stop, and baking r0 into a static arg would recompile per mesh.
+    ksp_rtol, restarts = (1e-3, 4) if "cheby" in pc else (1e-4, 40)
     while its < 10 and rn > 1e-6 * r0:
         if time.time() + max(60.0, 1.3 * last_step_s) > deadline - 60:
             _note("conv: newton deadline — stopping early")
             break
         t1 = time.time()
-        # 40 restarts (2000 its): the dense-coarse V-cycle converges the
-        # NS Jacobian in ~185 its at 70k and grows with h — the cheap
-        # applies make a deep cap affordable, and the old 400-it cap was
-        # what flatlined round 2's companion
-        outc = step(w, 1e-4, 40, atol=1e-6 * r0, pc=pc)
+        outc = step(w, ksp_rtol, restarts, pc=pc)
         last_step_s = time.time() - t1
         new_rn = float(outc.resnorm)
         _note(f"conv: newton it {its} |F|={new_rn:.3e} "
@@ -259,12 +280,17 @@ def run_converged(info, ctx):
                 converged_rel_resnorm=rn / r0,
                 converged_solve_s=round(time.time() - t0, 2))
     _mark_state(newton_done=True)
+    # flush the Newton-stage keys to stdout NOW: the refine program below
+    # is a fresh big compile that can crash the tunneled TPU worker, and
+    # a crash there must not erase the converged-Newton evidence (the
+    # driver reads the LAST JSON line, so the refine-stage emit below
+    # supersedes this one when it lands)
+    emit(info)
 
     # double-float refinement to the reference's 1e-8 (stepped).
     # Kernels hoisted out of the loop: the factories return fresh
     # closures, and the jit'd drivers treat the kernel as a static
     # argument — a new object per iteration would recompile every step.
-    ns_k = make_ns_sups_kernel("tetrahedron", nu=1.0 / 10.0)
     kdf = make_ns_sups_kernel_df("tetrahedron", nu=1.0 / 10.0)
     dfr = DFResidual(W, kdf)
     g_df = split64(g64)
@@ -401,16 +427,23 @@ def main():
     env = dict(os.environ,
                BENCH_DEADLINE=str(deadline - 10),
                BENCH_STATE=state_file)
-    # attempt ladder over (mesh, preconditioner): the Chebyshev-smoothed
-    # V-cycle first (2-5x fewer Krylov its; TPU compile at 1.05M
-    # unproven), demoting to the 1.05M-proven mg_jacobi_bf16 in a FRESH
-    # child on any failure.  An explicit BENCH_PC pins one PC (A/B).
+    # attempt ladder over (mesh, preconditioner): degree-6 Chebyshev
+    # first (the one smoother that survives the evolved-state spectrum
+    # at 1.05M — see HEADLINE_PC notes), demoting to degree 4 in a
+    # FRESH child on any failure (mg_jacobi is NOT a fallback anymore:
+    # its fixed-omega sweeps diverge outright at evolved NS states,
+    # V-cycle rho ~ 1e2, CPU-measured).  BENCH_PC pins one PC (A/B).
     user_pc = os.environ.get("BENCH_PC")
     if user_pc:
         attempts = [(lc0, user_pc), (0.035, user_pc)]
     else:
-        attempts = [(lc0, "mg_cheby_bf16"), (lc0, "mg_jacobi_bf16"),
-                    (0.035, "mg_jacobi_bf16")]
+        # degree stays >= 6 on every rung: with the tail-max interval,
+        # degree 4's T_4(sigma) normalization is too small for this
+        # operator family's complex spectrum at ANY state (CPU-measured
+        # rho ~ 24 even at the benign Stokes state at 1.05M) — the
+        # demotion axis is mesh size, not smoother strength
+        attempts = [(lc0, "mg_cheby6_bf16"), (lc0, "mg_cheby8_bf16"),
+                    (0.035, "mg_cheby6_bf16")]
     state = None
     pc_used = None
     for try_lc, pc in attempts:

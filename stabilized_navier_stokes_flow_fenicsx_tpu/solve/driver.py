@@ -28,6 +28,35 @@ from .precond import block_jacobi, plane_gs_grouped, plane_gs_layered
 from .refine import RefineResult, refine_newton
 
 
+def parse_mg_pc(pc: str):
+    """Parse an mg PC name into (smoother, cheby_degree, cycle, dtype).
+
+    Grammar: ``mg[_<smoother>][<cheby_degree>][w][_bf16]`` — e.g.
+    mg_cheby_bf16, mg_cheby6_bf16 (degree-6 Chebyshev), mg_chebyw_bf16
+    (W-cycle).  The degree/cycle suffixes exist so the stepped drivers
+    (whose pc argument is a static string) can reach make_mg_pc's
+    cycle_type/cheby_degree knobs.  Returns None for non-mg names.
+    """
+    import re
+
+    if not pc.startswith("mg"):
+        return None
+    m = re.fullmatch(
+        r"mg(?:_(jacobi|cheby|grouped|lined|linej|line|zebra))?"
+        r"(\d*)(w?)(_bf16)?", pc)
+    if m is None:
+        return None
+    # no-digit default degree 6: with the tail-max interval estimate
+    # (solve/mg.py), degree 4's T_4(sigma) normalization is too small
+    # for the NS Jacobian's complex spectrum (CPU-measured divergence
+    # even at benign states at 1.05M) — write mg_cheby4 explicitly to
+    # get the old degree.
+    return (m.group(1) or "plane_gs",
+            int(m.group(2)) if m.group(2) else 6,
+            "w" if m.group(3) else "v",
+            jnp.bfloat16 if m.group(4) else None)
+
+
 def _layered_pc(pc, arrays, n2d, n_planes, mask, mg=None):
     """PC factory for the layered operator: values -> closure.
 
@@ -35,32 +64,35 @@ def _layered_pc(pc, arrays, n2d, n_planes, mask, mg=None):
     fewer Krylov iterations than block-Jacobi at ~2 SpMV-equivalents per
     apply).  'plane_gs_grouped' relaxes 8 planes jointly: half the
     iterations again but ~3x the work per apply — wins only when scan
-    latency dominates (small cross-sections).  'mg' / 'mg_bf16' ->
-    aggregation multigrid V-cycle (solve/mg.py) — mesh-independent
-    iteration counts; requires the ``mg`` hierarchy argument.
+    latency dominates (small cross-sections).  'mg*' names (grammar in
+    ``parse_mg_pc``) -> aggregation multigrid V-cycle (solve/mg.py);
+    requires the ``mg`` hierarchy argument.
     """
-    if pc in ("mg", "mg_bf16", "mg_jacobi", "mg_jacobi_bf16",
-              "mg_cheby", "mg_cheby_bf16",
-              "mg_grouped", "mg_grouped_bf16", "mg_line", "mg_line_bf16",
-              "mg_lined", "mg_lined_bf16", "mg_linej", "mg_linej_bf16",
-              "mg_zebra", "mg_zebra_bf16"):
+    _mg_pat = parse_mg_pc(pc)
+    if _mg_pat:
         from .mg import make_mg_pc
 
         assert mg is not None, "pc='mg' needs a build_mg_hierarchy result"
-        dt = jnp.bfloat16 if pc.endswith("bf16") else None
-        sm = ("jacobi" if pc.startswith("mg_jacobi")
-              else "cheby" if pc.startswith("mg_cheby")
-              else "grouped" if pc.startswith("mg_grouped")
-              else "lined" if pc.startswith("mg_lined")
-              else "linej" if pc.startswith("mg_linej")
-              else "line" if pc.startswith("mg_line")
-              else "zebra" if pc.startswith("mg_zebra")
-              else "plane_gs")
+        sm, degree, cyc, dt = _mg_pat
+
+        # diagnostic/tuning escape hatches (read at TRACE time — set
+        # before the first dispatch of a given program; distinct values
+        # produce distinct HLO so the persistent cache stays correct):
+        import os as _os
+
+        # defaults MUST track make_mg_pc's (cheby_alpha=3, safety=1.4):
+        # alpha 4 amplifies at the 1.05M hard state even with the
+        # tail-max interval (CPU-measured rho 1.9) — the (1 + 1/alpha)
+        # safe-range extension above the interval top is load-bearing
+        alpha = float(_os.environ.get("SNS_CHEBY_ALPHA", "3.0"))
+        safety = float(_os.environ.get("SNS_CHEBY_SAFETY", "1.4"))
 
         def make(values):
             return make_mg_pc(
                 mg, values, arrays.cols, arrays.row_ids, arrays.diag_pos,
-                mask, n2d, n_planes, pc_dtype=dt, smoother=sm)
+                mask, n2d, n_planes, pc_dtype=dt, smoother=sm,
+                cycle_type=cyc, cheby_degree=degree, cheby_alpha=alpha,
+                cheby_safety=safety)
     elif pc in ("zebra", "zebra_bf16"):
         from .precond import plane_zebra_layered
 
@@ -191,6 +223,35 @@ def solve_linear_layered(
 
     M = _layered_pc(pc, arrays, n2d, n_planes, mask, mg)(values)
     return fgmres(A, b_bc, M=M, rtol=rtol, restart=restart, max_restarts=80)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 8))
+def residual_norm_layered(
+    kernel: Callable,
+    n2d: int,
+    n_planes: int,
+    bs: int,
+    arrays: LayeredArrays,
+    mask: jnp.ndarray,
+    g: jnp.ndarray,
+    w: jnp.ndarray,
+    E: int,
+) -> jnp.ndarray:
+    """||F(w)|| with BC rows substituted — a SMALL standalone program.
+
+    Exists so callers (bench.py's converged companion) can read the
+    initial Newton residual without compiling a full max_it=0 Newton
+    program: at 10^6 dofs a fresh Newton+FGMRES+V-cycle compile takes
+    ~5 minutes on the tunneled TPU and has crashed its worker
+    (round-3 measurement); this assembly-only program is ~10x smaller.
+    """
+    ndofs = n2d * n_planes * bs
+    asm_arrays = AsmArrays(
+        cell_dofs=arrays.cell_dofs, cell_coords=arrays.cell_coords,
+        indices=arrays.cols, row_ids=arrays.row_ids,
+        ell_pos=arrays.ell_pos, diag_pos=arrays.diag_pos)
+    r = residual_of(kernel, ndofs, asm_arrays, w)
+    return jnp.linalg.norm(mask * r + (1.0 - mask) * (w - g))
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3) + tuple(range(8, 16)))

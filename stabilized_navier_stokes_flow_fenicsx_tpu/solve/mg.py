@@ -223,8 +223,9 @@ def make_mg_pc(
     coarse: str = "dense",
     dense_cap: int = 8192,
     cycle_type: str = "v",
-    cheby_degree: int = 4,
-    cheby_alpha: float = 4.0,
+    cheby_degree: int = 6,
+    cheby_alpha: float = 3.0,
+    cheby_safety: float = 1.4,
 ) -> Callable:
     """V-cycle preconditioner closure r -> x for the layered operator.
 
@@ -304,6 +305,46 @@ def make_mg_pc(
                 + (1.0 - mk) * x
         matvecs.append(mv)
 
+        def _lam_max_tail(Dinv, mvk, mk=mk, n_pow=12, burn_in=5):
+            """|lambda|max(D^-1 A) estimate that is robust on the
+            NONNORMAL NS Jacobian: power iteration with a running MAX of
+            the norm ratios over the tail iterations.
+
+            Plain power iteration (the final ratio) underestimates badly
+            at evolved NS states: the dominant eigenpair goes complex,
+            the iterate norm OSCILLATES over the rotating eigenplane,
+            and the final sample landed 25-40% LOW at 1.05M dofs
+            (round-3 measurement, reproduced on CPU: the degree-6
+            Chebyshev polynomial then AMPLIFIES the modes above the
+            interval — V-cycle rho drifts above 1 and FGMRES flatlines
+            at ~1.3x per 200 its).  The tail-max samples the oscillation
+            PEAK instead (>= the cycle mean ~ |lambda|), and any
+            leftover nonnormal transient growth biases it high — the
+            safe direction.  NOT sigma_max(B): on this operator family
+            the nonnormality gap is ~4x (sigma 7.9 vs rho 1.8 at the
+            benign state, CPU-measured) — an interval top at sigma_max
+            parks the whole Chebyshev band above the actual spectrum,
+            the smoother stops smoothing, and the naked aggregation
+            coarse correction DIVERGES (rho ~ 800 measured).
+            """
+            def B(x):
+                return Dinv(mvk(x).astype(jnp.float32))
+
+            v0 = mk.astype(jnp.float32)
+            v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-30)
+
+            def _pow(i, carry):
+                v, best = carry
+                w = B(v)
+                nw = jnp.maximum(jnp.linalg.norm(w), 1e-30)
+                best = jnp.where(i >= burn_in, jnp.maximum(best, nw),
+                                 best)
+                return w / nw, best
+
+            _, lmax = jax.lax.fori_loop(
+                0, n_pow, _pow, (v0, jnp.float32(0.0)))
+            return lmax
+
         if smoother == "jacobi":
             from .precond import block_jacobi
 
@@ -311,7 +352,15 @@ def make_mg_pc(
             blocks = d.transpose(3, 2, 0, 1).reshape(-1, bs, bs)
             Dinv = block_jacobi(blocks.astype(jnp.float32),
                                 mk.astype(jnp.float32))
-            omega = 0.7
+            # omega auto-scaled to the measured spectrum: the historical
+            # fixed 0.7 assumed rho(D^-1 A) <~ 2 — at the evolved NS
+            # state at 1M dofs the spectrum reaches ~10x further and the
+            # two-sweep smoother AMPLIFIED by >20x per V-cycle (round-3
+            # CPU measurement).  1.4/ub reproduces omega=0.7 exactly on
+            # benign states (ub ~ 2) and stays stable everywhere else.
+            ub_j = cheby_safety * jnp.maximum(
+                _lam_max_tail(Dinv, matvecs[k]), jnp.float32(1e-6))
+            omega = 1.4 / ub_j
 
             def sm(r, Dinv=Dinv, mvk=matvecs[k], omega=omega):
                 x = omega * Dinv(r)
@@ -327,14 +376,13 @@ def make_mg_pc(
             # (channel, Re=10): degree 4 turns the V-cycle near
             # mesh-independent — 18 its at 70k dofs, 25 at 166k,
             # 35 at 345k (degree 3: 92/223; two damped Jacobi sweeps: 185/508);
-            # robust across alpha in {2,3,4}, while alpha=8 (interval
-            # reaching too far down the nonsymmetric spectrum)
-            # diverges — keep alpha >= 4 conservative.
-            # lmax(D^-1 A) is estimated per PC build by power iteration
-            # (a fori_loop: ~12 SpMVs at build, tiny next to assembly).
-            # The polynomial is fixed once built, so the smoother stays
-            # a LINEAR operator (a requirement for the V-cycle to be a
-            # fixed preconditioner; FGMRES tolerates drift regardless).
+            # above ~500k dofs degree 6 is needed (degree 4 stalls, see
+            # parse_mg_pc grammar for reaching cheby_degree).
+            # The interval top comes from _lam_max_tail (see its
+            # docstring for why plain power iteration fails here).  The polynomial is fixed once
+            # built, so the smoother stays a LINEAR operator (a
+            # requirement for the V-cycle to be a fixed preconditioner;
+            # FGMRES tolerates drift regardless).
             from .precond import block_jacobi
 
             d = Vk[:, :, 1, lv_diag[k], :]
@@ -343,18 +391,8 @@ def make_mg_pc(
                                 mk.astype(jnp.float32))
             mvk = matvecs[k]
 
-            v0 = mk.astype(jnp.float32)
-            v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-30)
-
-            def _pow(_, carry, Dinv=Dinv, mvk=mvk):
-                v, _ = carry
-                w = Dinv(mvk(v).astype(jnp.float32))
-                nw = jnp.maximum(jnp.linalg.norm(w), 1e-30)
-                return w / nw, nw
-
-            _, lmax = jax.lax.fori_loop(0, 12, _pow,
-                                        (v0, jnp.float32(1.0)))
-            ub = 1.1 * jnp.maximum(lmax, jnp.float32(1e-6))
+            ub = cheby_safety * jnp.maximum(_lam_max_tail(Dinv, mvk),
+                                            jnp.float32(1e-6))
             lb = ub / cheby_alpha
             theta = 0.5 * (ub + lb)
             delta = 0.5 * (ub - lb)

@@ -149,3 +149,26 @@ def test_mg_line_smoother(channel_image):
     assert rel < 1e-6, rel
     assert int(res.iters) <= 3 * int(mg_res.iters), (
         int(mg_res.iters), int(res.iters))
+
+
+def test_parse_mg_pc():
+    """PC-name grammar mg[_<sm>][<degree>][w][_bf16] (solve/driver.py):
+    the degree/cycle knobs landed after the round-3 1M-dof measurement
+    that degree-4 Chebyshev smoothing stalls the NS V-cycle above ~500k
+    dofs while degree 6 converges (see solve/mg.py make_mg_pc)."""
+    import jax.numpy as jnp
+
+    from stabilized_navier_stokes_flow_fenicsx_tpu.solve.driver import (
+        parse_mg_pc)
+
+    assert parse_mg_pc("mg") == ("plane_gs", 6, "v", None)
+    assert parse_mg_pc("mg_bf16") == ("plane_gs", 6, "v", jnp.bfloat16)
+    assert parse_mg_pc("mg_cheby") == ("cheby", 6, "v", None)
+    assert parse_mg_pc("mg_cheby6_bf16") == ("cheby", 6, "v", jnp.bfloat16)
+    assert parse_mg_pc("mg_chebyw_bf16") == ("cheby", 6, "w", jnp.bfloat16)
+    assert parse_mg_pc("mg_cheby8w") == ("cheby", 8, "w", None)
+    assert parse_mg_pc("mg_jacobi_bf16") == ("jacobi", 6, "v", jnp.bfloat16)
+    assert parse_mg_pc("mg_lined") == ("lined", 6, "v", None)
+    assert parse_mg_pc("mg_line") == ("line", 6, "v", None)
+    assert parse_mg_pc("jacobi") is None
+    assert parse_mg_pc("mg_bogus") is None
