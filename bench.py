@@ -261,8 +261,8 @@ def run_converged(info, ctx):
             break
         t1 = time.time()
         outc = step(w, ksp_rtol, restarts, pc=pc)
-        last_step_s = time.time() - t1
-        new_rn = float(outc.resnorm)
+        new_rn = float(outc.resnorm)     # blocks: the dispatch is async,
+        last_step_s = time.time() - t1   # so time AFTER the host read
         _note(f"conv: newton it {its} |F|={new_rn:.3e} "
               f"({last_step_s:.1f}s)")
         if bool(outc.stalled) or new_rn > 0.5 * rn:
@@ -306,8 +306,8 @@ def run_converged(info, ctx):
             lp.n2d, lp.n_planes, lp.bs, lp.E, lp.arrays, dfr.dfa,
             mask, g_df.hi, g_df.lo, x_hi, jnp.asarray(r0, x_hi.dtype),
             1e-8, 0.0, 1, 1e-2, 50, 8, pc, hr, x_lo)
+        new_rn = float(out.resnorm)      # blocks (async dispatch)
         last_step_s = time.time() - t1
-        new_rn = float(out.resnorm)
         _note(f"conv: refine it {ref_its} df|F|={new_rn:.3e} "
               f"({last_step_s:.1f}s)")
         if new_rn >= ref_rn or not np.isfinite(new_rn):
