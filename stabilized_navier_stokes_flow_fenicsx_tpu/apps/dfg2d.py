@@ -49,24 +49,37 @@ NU = 1e-3
 def dfg2d_mesh(scale: float = 1.0, cyl_factor: float = 0.5,
                symmetric_band: bool = True, band_layers: int = 5,
                band_first: float = 0.35,
-               band_ratio: float = 1.4) -> SimplexMesh:
+               band_ratio: float = 1.4,
+               wake_factor: float = 1.0,
+               near_growth: float = 0.05) -> SimplexMesh:
     """Graded cylinder-channel mesh; scale < 1 refines everything,
     cyl_factor < 1 refines the cylinder neighbourhood only (the lift
-    coefficient is 0.2% of drag and needs the boundary layer resolved).
+    coefficient is 0.2% of drag and needs the boundary layer resolved),
+    wake_factor < 1 refines the wake/far field only, near_growth sets
+    the size-field growth rate off the cylinder wall.
+
+    near_growth is THE lift accuracy axis (round-3 sweep): the pressure
+    field in the O(R) shell around the cylinder carries the lift signal,
+    and growth 0.25 starves it.  Measured Cl error at cyl_factor=0.5:
+    growth 0.25 -> -24%..-21% across scales 0.5..0.25 (plateaued);
+    growth 0.05 -> +0.4% / +1.6% / +0.7% / +0.2% at scales
+    0.7/0.5/0.35/0.25, with FEWER nodes than scale reduction ever
+    reached (wake-only refinement moved nothing: -22.1%).  Cd
+    simultaneously lands at -0.2% everywhere.
 
     symmetric_band: replace the Delaunay boundary-layer rings with a
     structured annulus that is exactly mirror-symmetric about y = CY
     (see mesh/sizefield.py structured_annulus) — on quasi-random meshes
     the mesh-asymmetry error near the cylinder swamps the tiny lift
     (measured -44%..+220% oscillation across scales)."""
-    lc_far = 0.08 * scale
-    lc_wake = 0.02 * scale
+    lc_far = 0.08 * scale * wake_factor
+    lc_wake = 0.02 * scale * wake_factor
     lc_cyl = 0.006 * scale * cyl_factor
 
     def lc_fn(p):
         p = np.atleast_2d(p)
         d = np.hypot(p[:, 0] - CX, p[:, 1] - CY) - R
-        near = lc_cyl + 0.25 * np.maximum(d, 0.0)
+        near = lc_cyl + near_growth * np.maximum(d, 0.0)
         wake = np.where(
             (p[:, 0] > CX) & (p[:, 0] < 1.2) & (np.abs(p[:, 1] - CY) < 0.15),
             lc_wake, lc_far)

