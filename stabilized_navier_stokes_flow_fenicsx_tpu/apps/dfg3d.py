@@ -40,11 +40,15 @@ UC, LC_REF = 0.2, 0.1 * 0.41
 
 
 def dfg3d_mesh(scale: float = 1.0, cyl_factor: float = 1.0,
-               symmetric_band: bool = True) -> SimplexMesh:
+               symmetric_band: bool = True,
+               near_growth: float = 0.3) -> SimplexMesh:
     """cyl_factor < 1 refines the pillar neighbourhood only (the drag
     error is dominated by the surface/boundary-layer resolution);
     symmetric_band glues a structured annulus into the cross-section
-    (see dfg2d / mesh/sizefield.py) before extruding through the span."""
+    (see dfg2d / mesh/sizefield.py) before extruding through the span;
+    near_growth sets the in-plane size growth off the pillar (the 2D
+    lift-accuracy axis, apps/dfg2d.py — the 3D default stays 0.3
+    because every in-plane cell is extruded through the whole span)."""
     lc_far = 0.09 * scale
     lc_wake = 0.035 * scale
     lc_cyl = 0.014 * scale * cyl_factor
@@ -52,7 +56,7 @@ def dfg3d_mesh(scale: float = 1.0, cyl_factor: float = 1.0,
     def lc_fn(p):
         p = np.atleast_2d(p)
         d = np.hypot(p[:, 0] - CX, p[:, 1] - CY) - R
-        near = lc_cyl + 0.3 * np.maximum(d, 0.0)
+        near = lc_cyl + near_growth * np.maximum(d, 0.0)
         wake = np.where(
             (p[:, 0] > CX) & (p[:, 0] < 1.4) & (np.abs(p[:, 1] - CY) < 0.15),
             lc_wake, lc_far)
