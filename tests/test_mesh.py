@@ -38,3 +38,17 @@ def test_duct_markers():
     on_wall = (np.isclose(np.abs(wp[:, 1]), 0.5)
                | np.isclose(np.abs(wp[:, 2]), 0.5))
     assert on_wall.all()
+
+
+def test_sizefield_no_degenerate_boundary_edges():
+    """Regression (round 3): the adaptive loop resampler emitted a
+    duplicate point at a rect corner when the walk landed within eps of
+    the chain endpoint (_walk_chain's sliver guard was dead code) — the
+    zero-length boundary edge made Delaunay edge recovery loop forever.
+    Reproducer: the dfg2d sizefield at wake_factor=0.5."""
+    from stabilized_navier_stokes_flow_fenicsx_tpu.apps.dfg2d import (
+        dfg2d_mesh)
+
+    m = dfg2d_mesh(0.5, 0.5, wake_factor=0.5, near_growth=0.25)
+    assert m.n_nodes > 1000
+    assert (m.cell_volumes() > 0).all()
