@@ -39,6 +39,7 @@ import numpy as np
 
 from ..fem.bc import DirichletBC, bc_mask, bc_vector
 from ..fem.space import MixedVelocityPressureSpace, FunctionSpace
+from ..utils.kernelbase import ElementKernel
 from ..utils.linalg import det_small, inv_small
 
 
@@ -171,16 +172,39 @@ def build_pattern(cell_blocks: np.ndarray, n_blocks: int, bs: int) -> BlockPatte
 # ----------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(0, 1))
 def residual_of(kernel: Callable, ndofs: int, arrays: AsmArrays,
                 w: jnp.ndarray) -> jnp.ndarray:
     """Global residual r(w) = scatter(sum_e kernel_e).
 
-    One extra segment absorbs padded cells' scatter (pad_cells_for_chunks);
-    padded cells read w at index ndofs via the safe concat below.  Cells
-    stream through in ASM_CHUNK-sized scan steps: per-quadrature-point
-    kernel intermediates over the whole mesh pick up ~40x TPU tile padding
-    and OOM around 10^6 cells.
+    ElementKernel pytrees (utils/kernelbase.py) enter the jit as DYNAMIC
+    arguments — their physical parameters are traced, so one compiled
+    program serves every nu of a Re sweep; plain-callable kernels keep
+    the legacy static treatment.
+    """
+    if isinstance(kernel, ElementKernel):
+        return _residual_of_p(kernel, ndofs, arrays, w)
+    return _residual_of_s(kernel, ndofs, arrays, w)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _residual_of_p(kernel, ndofs: int, arrays: AsmArrays,
+                   w: jnp.ndarray) -> jnp.ndarray:
+    return _residual_of_impl(kernel, ndofs, arrays, w)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _residual_of_s(kernel: Callable, ndofs: int, arrays: AsmArrays,
+                   w: jnp.ndarray) -> jnp.ndarray:
+    return _residual_of_impl(kernel, ndofs, arrays, w)
+
+
+def _residual_of_impl(kernel: Callable, ndofs: int, arrays: AsmArrays,
+                      w: jnp.ndarray) -> jnp.ndarray:
+    """One extra segment absorbs padded cells' scatter
+    (pad_cells_for_chunks); padded cells read w at index ndofs via the
+    safe concat below.  Cells stream through in ASM_CHUNK-sized scan
+    steps: per-quadrature-point kernel intermediates over the whole mesh
+    pick up ~40x TPU tile padding and OOM around 10^6 cells.
     """
     w_ext = jnp.concatenate([w, jnp.zeros(1, w.dtype)])
     nc = arrays.cell_dofs.shape[0]
@@ -272,10 +296,26 @@ def assemble_jacobian_chunked(
     return V[:, :n_segments]
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
 def matrix_values_of(kernel: Callable, nnzb: int, bs: int,
                      arrays: AsmArrays, w: jnp.ndarray) -> jnp.ndarray:
-    """Block-CSR values of dr/dw at w: (nnzb, bs, bs)."""
+    """Block-CSR values of dr/dw at w: (nnzb, bs, bs).
+
+    ElementKernel pytrees enter the jit dynamically (see residual_of)."""
+    if isinstance(kernel, ElementKernel):
+        return _matrix_values_of_p(kernel, nnzb, bs, arrays, w)
+    return _matrix_values_of_s(kernel, nnzb, bs, arrays, w)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _matrix_values_of_p(kernel, nnzb: int, bs: int,
+                        arrays: AsmArrays, w: jnp.ndarray) -> jnp.ndarray:
+    V = assemble_jacobian_chunked(kernel, nnzb, bs, arrays, w)
+    return V.T.reshape(nnzb, bs, bs)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _matrix_values_of_s(kernel: Callable, nnzb: int, bs: int,
+                        arrays: AsmArrays, w: jnp.ndarray) -> jnp.ndarray:
     V = assemble_jacobian_chunked(kernel, nnzb, bs, arrays, w)
     # (bs*bs, nnzb) -> (nnzb, bs, bs)
     return V.T.reshape(nnzb, bs, bs)

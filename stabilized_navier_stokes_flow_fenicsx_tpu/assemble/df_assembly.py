@@ -70,14 +70,18 @@ def split_coords(coords64: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return hi, lo
 
 
-@partial(jax.jit, static_argnums=(0, 1))
+@partial(jax.jit, static_argnums=(1,))
 def df_residual_of(
     kernel_df: Callable,
     ndofs: int,
     dfa: DFArrays,
     w: DF,
 ) -> DF:
-    """Global df residual r(w) — no BC substitution."""
+    """Global df residual r(w) — no BC substitution.
+
+    kernel_df is an ElementKernel pytree (utils/kernelbase.py): a
+    DYNAMIC jit argument, so the nu-derived hi/lo split leaves are
+    traced and one refine program serves the whole Re sweep."""
     cell_dofs, coords_hi, coords_lo, gather = dfa
     zero1 = jnp.zeros(1, w.hi.dtype)
     whi_ext = jnp.concatenate([w.hi, zero1])

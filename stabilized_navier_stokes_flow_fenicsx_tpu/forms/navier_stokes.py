@@ -50,6 +50,7 @@ tests/test_kernels_fd.py pins analytic == jacfwd in f64.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -57,6 +58,7 @@ import jax.numpy as jnp
 
 from ..assemble.assembly import affine_geometry, cell_diameter
 from ..fem.elements import element, quadrature
+from ..utils.kernelbase import ElementKernel
 
 
 def _assemble_blocks(J_uu, J_up, J_pu, J_pp, nv, dim, bs):
@@ -76,7 +78,17 @@ def make_ns_sups_kernel(
     transposed_stab: bool = True,
     qdeg: int = 2,
 ) -> Callable:
-    """G-metric SUPS/LSIC residual kernel on equal-order P1-P1."""
+    """G-metric SUPS/LSIC residual kernel on equal-order P1-P1.
+
+    Returns an ElementKernel pytree: (nu, C_I) are traced leaves, so the
+    jitted drivers compile ONE program per mesh and reuse it across the
+    Re sweep / continuation ladder (utils/kernelbase.py)."""
+    return ElementKernel(*_sups_fns(cell, transposed_stab, qdeg),
+                         (nu, C_I))
+
+
+@functools.lru_cache(maxsize=None)
+def _sups_fns(cell: str, transposed_stab: bool, qdeg: int):
     elem = element(cell, 1)
     qr = quadrature(cell, qdeg)
     phi_np, dphi_np = elem.tabulate(qr.points)
@@ -84,8 +96,9 @@ def make_ns_sups_kernel(
     nv = elem.ndof
     bs = dim + 1
 
-    def kernel(coords, w):
+    def kernel(params, coords, w):
         dtype = w.dtype
+        nu, C_I = (jnp.asarray(p).astype(dtype) for p in params)
         phi = jnp.asarray(phi_np, dtype)
         dphi = jnp.asarray(dphi_np, dtype)
         wq = jnp.asarray(qr.weights, dtype)
@@ -142,7 +155,7 @@ def make_ns_sups_kernel(
         r = jnp.concatenate([r_u, r_p[:, None]], axis=1).reshape(-1)
         return r * detJ
 
-    def jac_kernel(coords, w):
+    def jac_kernel(params, coords, w):
         """Hand-derived element tangent dr/dw (== jacfwd(kernel) to
         roundoff, pinned by tests/test_kernels_fd.py).  Derivation: with
         per-qp state (u, Gu = du_i/dx_j, p, gp) and tau' = dtau/du =
@@ -150,6 +163,7 @@ def make_ns_sups_kernel(
         residual term; ~3x cheaper than the 16-tangent jacfwd because no
         per-tangent intermediates are materialized."""
         dtype = w.dtype
+        nu, C_I = (jnp.asarray(p).astype(dtype) for p in params)
         phi = jnp.asarray(phi_np, dtype)
         dphi = jnp.asarray(dphi_np, dtype)
         wq = jnp.asarray(qr.weights, dtype)
@@ -221,8 +235,7 @@ def make_ns_sups_kernel(
         J_pp = jnp.einsum("q,q,qab->ab", wq, tau, gg)
         return detJ * _assemble_blocks(J_uu, J_up, J_pu, J_pp, nv, dim, bs)
 
-    kernel.jac = jac_kernel
-    return kernel
+    return kernel, jac_kernel
 
 
 def make_ns_ugn_kernel(
@@ -230,7 +243,15 @@ def make_ns_ugn_kernel(
     nu: float,
     qdeg: int = 2,
 ) -> Callable:
-    """UGN/Tezduyar-tau stabilized NS kernel (lid-driven variant)."""
+    """UGN/Tezduyar-tau stabilized NS kernel (lid-driven variant).
+
+    Returns an ElementKernel pytree with nu as a traced leaf (see
+    make_ns_sups_kernel)."""
+    return ElementKernel(*_ugn_fns(cell, qdeg), (nu,))
+
+
+@functools.lru_cache(maxsize=None)
+def _ugn_fns(cell: str, qdeg: int):
     elem = element(cell, 1)
     qr = quadrature(cell, qdeg)
     phi_np, dphi_np = elem.tabulate(qr.points)
@@ -238,8 +259,9 @@ def make_ns_ugn_kernel(
     nv = elem.ndof
     bs = dim + 1
 
-    def kernel(coords, w):
+    def kernel(params, coords, w):
         dtype = w.dtype
+        (nu,) = (jnp.asarray(p).astype(dtype) for p in params)
         phi = jnp.asarray(phi_np, dtype)
         dphi = jnp.asarray(dphi_np, dtype)
         wq = jnp.asarray(qr.weights, dtype)
@@ -290,11 +312,12 @@ def make_ns_ugn_kernel(
         r = jnp.concatenate([r_u, r_p[:, None]], axis=1).reshape(-1)
         return r * detJ
 
-    def jac_kernel(coords, w):
+    def jac_kernel(params, coords, w):
         """Hand-derived UGN tangent (== jacfwd(kernel) to roundoff;
         tests/test_kernels_fd.py).  tau' chains through the |u| guard and
         the z = min(Re_UGN/3, 1) branch exactly as autodiff would."""
         dtype = w.dtype
+        (nu,) = (jnp.asarray(p).astype(dtype) for p in params)
         phi = jnp.asarray(phi_np, dtype)
         dphi = jnp.asarray(dphi_np, dtype)
         wq = jnp.asarray(qr.weights, dtype)
@@ -353,5 +376,4 @@ def make_ns_ugn_kernel(
         J_pp = jnp.einsum("q,q,qab->ab", wq, tau_s, gg)
         return detJ * _assemble_blocks(J_uu, J_up, J_pu, J_pp, nv, dim, bs)
 
-    kernel.jac = jac_kernel
-    return kernel
+    return kernel, jac_kernel

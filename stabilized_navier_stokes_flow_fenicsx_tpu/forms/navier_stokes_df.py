@@ -15,6 +15,7 @@ f64 kernel to ~1e-12 relative.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax.numpy as jnp
@@ -54,7 +55,23 @@ def make_ns_sups_kernel_df(
     """G-metric SUPS/LSIC residual kernel, two-f32 compensated.
 
     kernel(coords: DF (nv, gdim), w: DF (ndl,)) -> DF (ndl,)
-    """
+
+    Returns an ElementKernel pytree whose leaves are the hi/lo splits of
+    nu and C_I*nu^2 (the splits are exact host-f64 arithmetic, so they
+    ride as traced data without losing the df precision model; one
+    compiled refine program per mesh across the Re sweep)."""
+    from ..utils.kernelbase import ElementKernel
+
+    elem = element(cell, 1)
+    nu_c = split64(nu)
+    cinu2 = split64(C_I * float(np.float64(nu) ** 2))
+    return ElementKernel(
+        _sups_df_fn(cell, transposed_stab, qdeg), None, (nu_c, cinu2),
+        attrs=(("nv", elem.ndof), ("bs", elem.dim + 1)))
+
+
+@functools.lru_cache(maxsize=None)
+def _sups_df_fn(cell: str, transposed_stab: bool, qdeg: int):
     elem = element(cell, 1)
     qr = quadrature(cell, qdeg)
     phi_np, dphi_np = elem.tabulate(qr.points)
@@ -65,10 +82,9 @@ def make_ns_sups_kernel_df(
     phi_c = split64(phi_np)
     dphi_c = split64(dphi_np)
     wq_c = split64(qr.weights)
-    nu_c = split64(nu)
-    cinu2 = split64(C_I * float(np.float64(nu) ** 2))
 
-    def kernel(coords: DF, w: DF) -> DF:
+    def kernel(params, coords: DF, w: DF) -> DF:
+        nu_c, cinu2 = params
         _, invJ, detJ = df_affine_geometry(coords, dim)
         G = df_einsum("ki,kj->ij", invJ, invJ)
         trG = df_einsum("ii->", G)
@@ -116,8 +132,6 @@ def make_ns_sups_kernel_df(
             [r_u, DF(r_p.hi[:, None], r_p.lo[:, None])], 1).reshape(-1)
         return df_mul(r, _bcast(detJ, r.hi.shape))
 
-    kernel.nv = nv
-    kernel.bs = bs
     return kernel
 
 
@@ -134,7 +148,23 @@ def make_ns_ugn_kernel_df(
     (df mirror of forms/navier_stokes.py::make_ns_ugn_kernel; reference
     LidDrivenFlow/LidDrivenNavierStokesFlow.py:119-143).  Branch guards
     (|u| <= 1e-8, Re_UGN/3 < 1) select on hi words — the same branches the
-    f32 kernel takes except within one ulp of the thresholds."""
+    f32 kernel takes except within one ulp of the thresholds.
+
+    Returns an ElementKernel pytree; the nu-derived hi/lo splits are
+    traced leaves (see make_ns_sups_kernel_df)."""
+    from ..utils.kernelbase import ElementKernel
+
+    elem = element(cell, 1)
+    nu_c = split64(nu)
+    inv4nu = split64(1.0 / (4.0 * float(np.float64(nu))))
+    inv2nu = split64(1.0 / (2.0 * float(np.float64(nu))))
+    return ElementKernel(
+        _ugn_df_fn(cell, qdeg), None, (nu_c, inv4nu, inv2nu),
+        attrs=(("nv", elem.ndof), ("bs", elem.dim + 1)))
+
+
+@functools.lru_cache(maxsize=None)
+def _ugn_df_fn(cell: str, qdeg: int):
     from ..utils.dfloat import df_where
     from .stokes_df import df_cell_diameter
 
@@ -148,13 +178,11 @@ def make_ns_ugn_kernel_df(
     phi_c = split64(phi_np)
     dphi_c = split64(dphi_np)
     wq_c = split64(qr.weights)
-    nu_c = split64(nu)
-    inv4nu = split64(1.0 / (4.0 * float(np.float64(nu))))
-    inv2nu = split64(1.0 / (2.0 * float(np.float64(nu))))
     third = split64(1.0 / 3.0)     # not f32-representable: needs both words
     tiny = float(jnp.finfo(jnp.float32).tiny)
 
-    def kernel(coords: DF, w: DF) -> DF:
+    def kernel(params, coords: DF, w: DF) -> DF:
+        nu_c, inv4nu, inv2nu = params
         from ..utils.dfloat import df_add, df_sqrt
 
         _, invJ, detJ = df_affine_geometry(coords, dim)
@@ -211,6 +239,4 @@ def make_ns_ugn_kernel_df(
             [r_u, DF(r_p.hi[:, None], r_p.lo[:, None])], 1).reshape(-1)
         return df_mul(r, _bcast(detJ, r.hi.shape))
 
-    kernel.nv = nv
-    kernel.bs = bs
     return kernel

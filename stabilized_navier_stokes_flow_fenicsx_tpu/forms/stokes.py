@@ -19,6 +19,7 @@ equal-order mixed layout of fem/space.py.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax.numpy as jnp
@@ -26,6 +27,7 @@ import numpy as np
 
 from ..assemble.assembly import affine_geometry, cell_diameter
 from ..fem.elements import element, quadrature
+from ..utils.kernelbase import ElementKernel
 
 
 def make_stokes_kernel(
@@ -40,21 +42,33 @@ def make_stokes_kernel(
 
     nu_scaled_stab=False: mu_T = mu_T_coeff * h^2           (channel form)
     nu_scaled_stab=True:  mu_T = mu_T_coeff * h^2 / (4 nu)  (lid-driven form)
-    """
+
+    Returns an ElementKernel pytree: (nu, mu_T_coeff, forcing) are traced
+    leaves (one compiled program per mesh across parameter values,
+    utils/kernelbase.py)."""
+    elem = element(cell, 1)
+    f_np = np.zeros(elem.dim) if forcing is None \
+        else np.asarray(forcing, float)
+    return ElementKernel(_stokes_fn(cell, nu_scaled_stab, qdeg), None,
+                         (nu, mu_T_coeff, f_np))
+
+
+@functools.lru_cache(maxsize=None)
+def _stokes_fn(cell: str, nu_scaled_stab: bool, qdeg: int):
     elem = element(cell, 1)
     qr = quadrature(cell, qdeg)
     phi_np, dphi_np = elem.tabulate(qr.points)
     dim = elem.dim
     nv = elem.ndof
     bs = dim + 1
-    f_np = np.zeros(dim) if forcing is None else np.asarray(forcing, float)
 
-    def kernel(coords, w):
+    def kernel(params, coords, w):
         dtype = w.dtype
+        nu, mu_T_coeff, fvec = (
+            jnp.asarray(p).astype(dtype) for p in params)
         phi = jnp.asarray(phi_np, dtype)        # (nq, nv)
         dphi = jnp.asarray(dphi_np, dtype)      # (nq, nv, dim)
         wq = jnp.asarray(qr.weights, dtype)
-        fvec = jnp.asarray(f_np, dtype)
         coords = coords.astype(dtype)
 
         _, invJ, detJ = affine_geometry(coords, dim)

@@ -11,6 +11,7 @@ classical linear iterative refinement with it.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import numpy as np
@@ -18,6 +19,7 @@ import numpy as np
 from ..fem.elements import element, quadrature
 from ..utils.dfloat import (DF, df_concatenate, df_einsum, df_mul, df_sqrt,
                             df_where)
+from ..utils.kernelbase import ElementKernel
 from .navier_stokes_df import _bcast, df_affine_geometry, split64
 
 
@@ -47,7 +49,25 @@ def make_stokes_kernel_df(
     """df residual kernel for the stabilized Stokes form on P1-P1.
 
     kernel(coords: DF (nv, gdim), w: DF (ndl,)) -> DF (ndl,)
-    """
+
+    Returns an ElementKernel pytree (traced nu/mu_T/forcing splits —
+    see make_ns_sups_kernel_df)."""
+    elem = element(cell, 1)
+    nu_c = split64(nu)
+    mu_scale = split64(
+        float(mu_T_coeff) / (4.0 * float(nu)) if nu_scaled_stab
+        else float(mu_T_coeff))
+    f_np = None if forcing is None or not np.any(forcing) \
+        else np.asarray(forcing, np.float64)
+    params = (nu_c, mu_scale) if f_np is None \
+        else (nu_c, mu_scale, split64(f_np))
+    return ElementKernel(
+        _stokes_df_fn(cell, qdeg, f_np is not None), None, params,
+        attrs=(("nv", elem.ndof), ("bs", elem.dim + 1)))
+
+
+@functools.lru_cache(maxsize=None)
+def _stokes_df_fn(cell: str, qdeg: int, has_forcing: bool):
     elem = element(cell, 1)
     qr = quadrature(cell, qdeg)
     phi_np, dphi_np = elem.tabulate(qr.points)
@@ -58,15 +78,12 @@ def make_stokes_kernel_df(
     phi_c = split64(phi_np)
     dphi_c = split64(dphi_np)
     wq_c = split64(qr.weights)
-    nu_c = split64(nu)
-    mu_scale = split64(
-        float(mu_T_coeff) / (4.0 * float(nu)) if nu_scaled_stab
-        else float(mu_T_coeff))
-    f_np = None if forcing is None or not np.any(forcing) \
-        else np.asarray(forcing, np.float64)
-    f_c = None if f_np is None else split64(f_np)
 
-    def kernel(coords: DF, w: DF) -> DF:
+    def kernel(params, coords: DF, w: DF) -> DF:
+        if has_forcing:
+            nu_c, mu_scale, f_c = params
+        else:
+            (nu_c, mu_scale), f_c = params, None
         _, invJ, detJ = df_affine_geometry(coords, dim)
         h = df_cell_diameter(coords)
         mu_T = df_mul(mu_scale, df_mul(h, h))
@@ -96,6 +113,4 @@ def make_stokes_kernel_df(
             [r_u, DF(r_p.hi[:, None], r_p.lo[:, None])], 1).reshape(-1)
         return df_mul(r, _bcast(detJ, r.hi.shape))
 
-    kernel.nv = nv
-    kernel.bs = bs
     return kernel

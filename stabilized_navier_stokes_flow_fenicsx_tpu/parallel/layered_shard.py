@@ -218,7 +218,7 @@ def shard_layered_inputs(lp, mask, g, w0, device_mesh: Mesh,
 
 
 @partial(jax.jit,
-         static_argnums=(0, 1, 2, 3, 4, 5, 6, 7) + tuple(range(14, 21)))
+         static_argnums=(1, 2, 3, 4, 5, 6, 7) + tuple(range(14, 21)))
 def _sharded_newton_layered(
     kernel: Callable,
     n2d: int,

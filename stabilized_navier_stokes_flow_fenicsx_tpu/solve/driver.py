@@ -136,7 +136,7 @@ def _bc_op(arrays, n_rows, values, mask):
     return op
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def solve_linear_bcsr(
     kernel: Callable,
     ndofs: int,
@@ -191,7 +191,7 @@ def solve_spd_cg(
     return cg(A, b_bc, rtol=rtol, max_it=ndofs * 4)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(1, 2, 3, 7, 8, 9, 10))
 def solve_linear_layered(
     kernel: Callable,
     n2d: int,
@@ -225,7 +225,7 @@ def solve_linear_layered(
     return fgmres(A, b_bc, M=M, rtol=rtol, restart=restart, max_restarts=80)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 8))
+@partial(jax.jit, static_argnums=(1, 2, 3, 8))
 def residual_norm_layered(
     kernel: Callable,
     n2d: int,
@@ -254,7 +254,7 @@ def residual_norm_layered(
     return jnp.linalg.norm(mask * r + (1.0 - mask) * (w - g))
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3) + tuple(range(8, 16)))
+@partial(jax.jit, static_argnums=(1, 2, 3) + tuple(range(8, 16)))
 def solve_newton_layered(
     kernel: Callable,
     n2d: int,
@@ -303,7 +303,7 @@ def solve_newton_layered(
         ksp_restart=ksp_restart, ksp_max_restarts=ksp_max_restarts)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4) + tuple(range(9, 16)))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4) + tuple(range(9, 16)))
 def solve_newton_bcsr(
     kernel: Callable,
     ndofs: int,
@@ -358,7 +358,7 @@ def _df_bc_residual(kernel_df, ndofs, dfa, mask, g_df):
     return residual_df
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5) + tuple(range(13, 20)))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5) + tuple(range(13, 20)))
 def refine_newton_layered(
     kernel: Callable,
     kernel_df: Callable,
@@ -406,7 +406,7 @@ def refine_newton_layered(
         x0_lo=x0_lo)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5) + tuple(range(13, 19)))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5) + tuple(range(13, 19)))
 def refine_newton_bcsr(
     kernel: Callable,
     kernel_df: Callable,
