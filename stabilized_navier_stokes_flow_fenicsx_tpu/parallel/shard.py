@@ -18,6 +18,7 @@ finite.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Callable, NamedTuple
 
@@ -26,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..assemble.assembly import Assembler
+from ..assemble.assembly import Assembler, AsmArrays
 from ..solve.newton import NewtonResult, newton_solve
 from ..solve.precond import block_jacobi
 
@@ -220,3 +221,128 @@ def sharded_newton(
             ksp_restart=ksp_restart, ksp_max_restarts=ksp_max_restarts)
 
     return run(prob.arrays, mask, g, w0)
+
+
+# ---- row-partitioned dof vectors via the GSPMD partitioner -----------------
+
+
+@functools.lru_cache(maxsize=None)
+def _spmd_newton_jit(device_mesh: Mesh, axis: str, ndofs: int, nnzb: int,
+                     bs: int, n_rows: int, tol_items: tuple):
+    from ..solve.driver import solve_newton_bcsr
+
+    vs = NamedSharding(device_mesh, P(axis))
+    repl = NamedSharding(device_mesh, P())
+    tols = dict(tol_items)
+    out_sh = NewtonResult(x=vs, iters=repl, resnorm=repl, converged=repl,
+                          history=repl, stalled=repl)
+
+    def run(kernel, arrays, mask, g, w0):
+        return solve_newton_bcsr(kernel, ndofs, nnzb, bs, n_rows,
+                                 arrays, mask, g, w0, **tols)
+
+    return jax.jit(run, out_shardings=out_sh)
+
+
+def _pad_axis(x: np.ndarray, n: int, fill) -> np.ndarray:
+    return _pad_to(np.asarray(x), n, fill)
+
+
+def spmd_pad_problem(asm: Assembler, n_devices: int):
+    """Pad a BCSR problem so every explicitly-sharded axis divides the
+    device count: dofs are extended with Dirichlet identity rows pinned
+    to 0 (the layered path's plane-padding trick, layered_shard.py),
+    nnz entries with trash blocks scattering into a padded (masked)
+    row, cells with the existing trash-cell scheme.  Returns
+    (AsmArrays_padded, ndofs_pad, nnzb_pad, n_rows_pad).
+
+    The padded statics are safe with the unmodified assembly/matvec:
+    trash cells still gather/scatter at index ``asm.ndofs`` — now a
+    real, masked, zero-pinned row instead of the sliced-off extra
+    segment — and trash nnz blocks carry garbage values whose rows the
+    BC mask annihilates (solve/driver.py::_bc_op).
+    """
+    from ..assemble.assembly import ASM_CHUNK
+
+    D = int(n_devices)
+    bs = asm.pattern.bs
+    a = asm.arrays
+    unit = bs * D                       # ndofs_pad % D == n_rows_pad % D == 0
+    ndofs_pad = -(-(asm.ndofs + 1) // unit) * unit
+    n_rows_pad = ndofs_pad // bs
+    nnzb_pad = -(-asm.pattern.nnzb // D) * D
+    nc = a.cell_dofs.shape[0]
+    cunit = np.lcm(ASM_CHUNK, D) if nc > ASM_CHUNK else D
+    nc_pad = -(-nc // cunit) * cunit
+    cc = np.asarray(a.cell_coords)
+    arrays = AsmArrays(
+        cell_dofs=jnp.asarray(_pad_axis(a.cell_dofs, nc_pad,
+                                        np.int32(asm.ndofs))),
+        cell_coords=jnp.asarray(_pad_axis(cc, nc_pad, cc[0])),
+        indices=jnp.asarray(_pad_axis(a.indices, nnzb_pad, np.int32(0))),
+        row_ids=jnp.asarray(_pad_axis(a.row_ids, nnzb_pad,
+                                      np.int32(asm.pattern.n_rows))),
+        ell_pos=jnp.asarray(_pad_axis(a.ell_pos, nc_pad,
+                                      np.int32(asm.pattern.nnzb))),
+        diag_pos=jnp.asarray(_pad_axis(a.diag_pos, n_rows_pad,
+                                       np.int32(0))),
+    )
+    return arrays, ndofs_pad, nnzb_pad, n_rows_pad
+
+
+def spmd_newton_bcsr(
+    asm: Assembler,
+    kernel: Callable,
+    mask,
+    g,
+    w0,
+    device_mesh: Mesh,
+    axis: str = "dofs",
+    **tols,
+) -> NewtonResult:
+    """Newton with ROW-PARTITIONED dof vectors on the generic BCSR path.
+
+    ``sharded_newton`` above divides the element/nnz work but replicates
+    every dof vector (fine to ~8 chips; the vector memory axis caps
+    scaling beyond that).  This entry point is the scaling-book recipe
+    instead: annotate shardings and let the GSPMD partitioner insert the
+    collectives.  Dof vectors (w, mask, g — and, by propagation, the
+    Krylov basis, the dominant vector memory at restart 50) are sharded
+    ``P(axis)``; cell/nnz arrays shard on their leading axes; XLA
+    inserts the all-gather feeding the per-cell dof gather,
+    reduce-scatters the segment-summed rows, and turns Krylov
+    dots/norms into psums.  No shard_map, no hand-written collectives.
+    The result's ``x`` is forced row-partitioned via ``out_shardings``
+    and has ``ndofs_pad`` entries — slice ``[:asm.ndofs]`` for the
+    solution (padded rows are Dirichlet-pinned zeros).
+
+    TPU-native replacement for the reference's distributed PETSc Vec
+    ownership (reference NavierStokesChannelFlow.py:111, :153-154 —
+    each MPI rank owns a contiguous dof range) on unstructured meshes;
+    the extruded-channel flagship path has its own hand-sharded variant
+    (parallel/layered_shard.py) where the plane structure makes the
+    halo a single ppermute.
+    """
+    D = device_mesh.shape[axis]
+    arrays_np, ndofs_pad, nnzb_pad, n_rows_pad = spmd_pad_problem(asm, D)
+    vs = NamedSharding(device_mesh, P(axis))
+    cs = NamedSharding(device_mesh, P(axis))
+    arrays = AsmArrays(
+        cell_dofs=jax.device_put(arrays_np.cell_dofs, cs),
+        cell_coords=jax.device_put(arrays_np.cell_coords, cs),
+        indices=jax.device_put(arrays_np.indices, cs),
+        row_ids=jax.device_put(arrays_np.row_ids, cs),
+        ell_pos=jax.device_put(arrays_np.ell_pos, cs),
+        diag_pos=jax.device_put(arrays_np.diag_pos, vs),
+    )
+    pad = ndofs_pad - asm.ndofs
+
+    def pad_vec(v):
+        v = np.asarray(v)
+        return jax.device_put(jnp.asarray(np.concatenate(
+            [v, np.zeros(pad, v.dtype)])), vs)
+
+    run = _spmd_newton_jit(
+        device_mesh, axis, ndofs_pad, nnzb_pad, asm.pattern.bs,
+        n_rows_pad, tuple(sorted(tols.items())))
+    return run(kernel, arrays, pad_vec(mask), pad_vec(g), pad_vec(w0))

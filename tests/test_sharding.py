@@ -59,3 +59,22 @@ def test_sharded_newton_matches_single_device():
     err = np.linalg.norm(np.asarray(out.x) - np.asarray(ref.x)) \
         / np.linalg.norm(np.asarray(ref.x))
     assert err < 1e-8
+
+    # ---- GSPMD row-partitioned variant (dof vectors NOT replicated) ----
+    from stabilized_navier_stokes_flow_fenicsx_tpu.parallel.shard import (
+        spmd_newton_bcsr)
+
+    dof_mesh = Mesh(np.array(jax.devices()), ("dofs",))
+    out2 = spmd_newton_bcsr(asm, nsk, mask, g, sres_x, dof_mesh)
+    assert bool(out2.converged)
+    x2 = np.asarray(out2.x)
+    np.testing.assert_allclose(x2[asm.ndofs:], 0.0)   # padded rows pinned
+    err2 = np.linalg.norm(x2[:asm.ndofs] - np.asarray(ref.x)) \
+        / np.linalg.norm(np.asarray(ref.x))
+    assert err2 < 1e-8
+    # the solution vector is physically row-partitioned: each device
+    # holds only ndofs_pad/8 entries (vector replication dropped — the
+    # memory axis for >8-chip scaling)
+    shard_rows = [s.data.shape[0] for s in out2.x.addressable_shards]
+    assert len(shard_rows) == 8
+    assert max(shard_rows) == x2.shape[0] // 8
