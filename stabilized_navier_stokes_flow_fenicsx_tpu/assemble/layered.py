@@ -45,6 +45,17 @@ class LayeredArrays(NamedTuple):
     cols: jnp.ndarray            # (E,) 2D column node of each pair
     row_ids: jnp.ndarray         # (E,) 2D row node (sorted)
     diag_pos: jnp.ndarray        # (n2d,) pair id of the (i, i) pair
+    # optional gather plan (assembly.py::build_gather_plan): replaces the
+    # Jacobian scatter-add with dense gather+sum on the single-device
+    # path (the profiled 1M-dof hot spot); None -> scatter fallback
+    # (slab-sharded and stub constructions)
+    gtab: jnp.ndarray = None         # (n_seg, degA) int32
+    gtab_over: jnp.ndarray = None    # (n_over, degB) int32
+    gtab_over_ids: jnp.ndarray = None  # (n_over,) int32
+    # structured-extrusion plan (assemble/structured.py::StructuredAsm,
+    # a nested pytree): the scatter-free Jacobian assembly on extruded
+    # meshes; None -> scatter fallback
+    sasm: object = None
 
 
 @dataclasses.dataclass
@@ -151,6 +162,23 @@ def build_layered(
         cc_p[nc:] = cc_p[0]          # padded cells reuse cell 0 coords
         cd_p[nc:] = space.ndofs      # scatter into the trash dof
         ep_p[nc:] = nnz_layer        # scatter into the trash segment
+    # measured NEGATIVE result (benchmarks/_gather_asm_bench.py, v5e):
+    # the gather-plan Jacobian reduction loses to the scatter — 0.75x
+    # with per-element tables (random 4-byte gather granule), 0.06x with
+    # contribution-major 64-byte slices (lax.gather slice_sizes=(16,)
+    # lowers terribly).  TPU random gathers are no faster than TPU
+    # scatter-adds at this granule; opt in with NS_TPU_GATHER_ASM=1 for
+    # re-measurement.  The winning design is the structured-extrusion
+    # reduction (layer-minor row gathers) — see assemble/structured.py.
+    gplan = (None, None, None)
+    import os as _os
+
+    if _os.environ.get("NS_TPU_GATHER_ASM"):
+        from .assembly import build_gather_plan
+
+        tabA, tabB, over_ids = build_gather_plan(ep_p, nnz_layer)
+        gplan = (jnp.asarray(tabA), jnp.asarray(tabB),
+                 jnp.asarray(over_ids))
     arrays = LayeredArrays(
         cell_dofs=jnp.asarray(cd_p, jnp.int32),
         cell_coords=jnp.asarray(cc_p, dtype),
@@ -158,7 +186,16 @@ def build_layered(
         cols=jnp.asarray(cols2d),
         row_ids=jnp.asarray(rows2d),
         diag_pos=jnp.asarray(diag_pos.astype(np.int32)),
+        gtab=gplan[0],
+        gtab_over=gplan[1],
+        gtab_over_ids=gplan[2],
     )
+    if not _os.environ.get("NS_TPU_NO_STRUCTURED"):
+        from .structured import build_structured_plan
+
+        sasm = build_structured_plan(mesh, cd_p, cc_p, ep_p, n2d, Lp, E, bs)
+        if sasm is not None:
+            arrays = arrays._replace(sasm=sasm)
     # adapter so matrix_values_of(kernel, nnzb, bs, ...) can be reused: it
     # only needs ell_pos/cell_dofs/cell_coords + nnzb
     pat = BlockPattern(
@@ -186,7 +223,8 @@ def matrix_values_layered(
     remat copy).  Assembled as bs*bs strided segment-sums over the raw
     (nc, ndl, ndl) element Jacobians — no big transposes.
     """
-    from .assembly import AsmArrays, assemble_jacobian_chunked
+    from .assembly import (AsmArrays, assemble_jacobian_chunked,
+                           assemble_jacobian_gather)
 
     Lp = n_planes
     nnz_layer = E * 3 * Lp
@@ -194,7 +232,16 @@ def matrix_values_layered(
         cell_dofs=arrays.cell_dofs, cell_coords=arrays.cell_coords,
         indices=arrays.cols, row_ids=arrays.row_ids,
         ell_pos=arrays.ell_pos, diag_pos=arrays.diag_pos)
-    V = assemble_jacobian_chunked(kernel, nnz_layer, bs, asm_arrays, w)
+    if arrays.sasm is not None:
+        from .structured import matrix_values_structured
+
+        return matrix_values_structured(kernel, E, Lp, bs, arrays.sasm, w)
+    if arrays.gtab is not None:
+        V = assemble_jacobian_gather(
+            kernel, nnz_layer, bs, asm_arrays, w,
+            arrays.gtab, arrays.gtab_over, arrays.gtab_over_ids)
+    else:
+        V = assemble_jacobian_chunked(kernel, nnz_layer, bs, asm_arrays, w)
     return V.reshape(bs, bs, 3, E, Lp)
 
 

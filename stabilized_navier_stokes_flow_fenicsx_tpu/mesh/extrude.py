@@ -144,10 +144,12 @@ def extrude_channel(
     # prisms per layer, dropping solid splitter-band prisms (region 1)
     tol = 1e-9
     all_prisms = []
+    keep_grid = np.ones((nl, tris.shape[0]), dtype=bool)
     for l in range(nl):
         keep = np.ones(tris.shape[0], dtype=bool)
         if x_planes[l + 1] <= geom.x_extrude + tol:
             keep = tri.regions != 1
+        keep_grid[l] = keep
         bot = tris[keep] + np.int32(l * np2)
         top = tris[keep] + np.int32((l + 1) * np2)
         all_prisms.append(np.concatenate([bot, top], axis=1))
@@ -175,6 +177,10 @@ def extrude_channel(
         mesh = SimplexMesh("tetrahedron", points,
                            np.asarray(tets, np.int32))
         mesh.layered = (np2, len(x_planes), used_mask)
+        # (layer, column) cell grid for the structured assembly
+        # (assemble/structured.py): cells were emitted layer-major,
+        # kept-tri-major, tet-minor — exactly this grid's order
+        mesh.extrusion = (tris.shape[0], nl, keep_grid)
     if not oriented:
         mesh.orient_positive()
 
