@@ -1,12 +1,17 @@
 """A/B: scatter (assemble_jacobian_chunked) vs gather-plan
 (assemble_jacobian_gather) Jacobian assembly on the real chip.
 
-Run: python benchmarks/_gather_asm_bench.py [lc]
+Run: NS_TPU_GATHER_ASM=1 python benchmarks/_gather_asm_bench.py [lc]
+
+(The env var is also set below before the package import: build_layered
+only populates arrays.gtab/gtab_over under it, and this script reads
+both unconditionally.)
 """
 import os
 import sys
 import time
 
+os.environ["NS_TPU_GATHER_ASM"] = "1"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

@@ -363,6 +363,16 @@ def assemble_jacobian_gather(
     ndl = arrays.cell_dofs.shape[1]
     nbl = arrays.ell_pos.shape[1]
     b2 = bs * bs
+    # reduce16 computes gather offsets as int32 id*b2: guard the padded
+    # contribution count (the appended trash block sits at K = nc*nbl*nbl)
+    assert (nc * nbl * nbl + 1) * b2 < 2**31, (
+        "gather-plan int32 offset overflow: nc*nbl^2*bs^2 exceeds 2^31 "
+        f"(nc={nc}, nbl={nbl}, bs={bs}) — premultiply on host in int64")
+    # the chunked scan below silently drops trailing cells otherwise;
+    # callers pad (pad_cells_for_chunks) — make the contract explicit
+    assert nc <= ASM_CHUNK or nc % ASM_CHUNK == 0, (
+        f"cell arrays must be padded to a multiple of ASM_CHUNK "
+        f"({ASM_CHUNK}); got nc={nc}")
 
     def chunk_blocks(cci, cdi):
         # (ch, ndl, ndl) -> contribution-major flat (ch*nbl*nbl*b2,):

@@ -193,9 +193,6 @@ def matrix_values_structured(kernel, E: int, Lp: int, bs: int,
     M3p = ncs // nl
     m = max(1, ASM_CHUNK // nl)
     n_chunks = M3p // m
-    w_ext = jnp.concatenate([w, jnp.zeros(1, w.dtype)])
-
-    del w_ext  # _cell_jacobians appends the safe dof itself
 
     def chunk_rows(cdi, cci, mki):
         # (m*nl, ndl, ndl) cell Jacobians -> (m*e2, nl) layer-minor rows
