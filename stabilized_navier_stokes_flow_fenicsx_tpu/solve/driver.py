@@ -20,7 +20,7 @@ from ..assemble.assembly import (
 from ..assemble.df_assembly import DFArrays, df_residual_of
 from ..assemble.layered import (
     LayeredArrays, layered_diag_blocks, layered_matvec,
-    matrix_values_layered)
+    make_layered_op, matrix_values_layered)
 from ..utils.dfloat import DF, df_add, df_mul
 from .krylov import KrylovResult, cg, fgmres
 from .newton import NewtonResult, newton_solve
@@ -216,11 +216,7 @@ def solve_linear_layered(
     values = matrix_values_layered(kernel, E, n_planes, bs, arrays, zero)
     b = -residual_of(kernel, ndofs, asm_arrays, zero)
     b_bc = mask * (b - layered_matvec(arrays, n2d, n_planes, values, g)) + g
-
-    def A(x):
-        y = layered_matvec(arrays, n2d, n_planes, values, mask * x)
-        return mask * y + (1.0 - mask) * x
-
+    A = make_layered_op(arrays, n2d, n_planes, values, mask)
     M = _layered_pc(pc, arrays, n2d, n_planes, mask, mg)(values)
     return fgmres(A, b_bc, M=M, rtol=rtol, restart=restart, max_restarts=80)
 
@@ -290,10 +286,7 @@ def solve_newton_layered(
         return matrix_values_layered(kernel, E, n_planes, bs, arrays, w)
 
     def make_op(values):
-        def op(x):
-            y = layered_matvec(arrays, n2d, n_planes, values, mask * x)
-            return mask * y + (1.0 - mask) * x
-        return op
+        return make_layered_op(arrays, n2d, n_planes, values, mask)
 
     make_pc = _layered_pc(pc, arrays, n2d, n_planes, mask, mg)
 
@@ -393,10 +386,7 @@ def refine_newton_layered(
         return matrix_values_layered(kernel, E, n_planes, bs, arrays, w)
 
     def make_op(values):
-        def op(x):
-            y = layered_matvec(arrays, n2d, n_planes, values, mask * x)
-            return mask * y + (1.0 - mask) * x
-        return op
+        return make_layered_op(arrays, n2d, n_planes, values, mask)
 
     make_pc = _layered_pc(pc, arrays, n2d, n_planes, mask, mg)
     return refine_newton(
