@@ -8,17 +8,41 @@ chip.  Work per measured headline run is fixed (5 Newton iterations with
 a capped inner solve), so the number is comparable across rounds.
 
 BUDGET-SAFE (VERDICT round-2 item 1): the whole script runs under a hard
-wall-clock budget (BENCH_BUDGET_S, default 1500 s).  The headline JSON
+wall-clock budget (BENCH_BUDGET_S, default 2200 s).  The headline JSON
 line is printed the moment ``steady_s`` exists — a late kill cannot erase
-it — and the converged companion metric (MG Stokes init + stepped Newton
-+ double-float refinement at the same mesh, BASELINE.md's actual metric)
-runs only in whatever budget remains, deadline-checked between every
-dispatch, with partial state flushed to stderr as it goes.  If the
-companion lands, an updated JSON line (same metric/value, extra keys) is
-printed.  vs_baseline is the speedup vs the newest recorded
-BENCH_r*.json value (round 1: 181.735 s).
+it — and every later phase (converged solve, trace+IO, roofline) runs in
+whatever budget remains, deadline-checked between dispatches, each phase
+re-emitting the JSON line with its extra keys (the driver reads the LAST
+line).
 
-Prints one JSON line (twice if the companion completes):
+ROUND-4 REDESIGN (VERDICT round-3 items 1-4):
+  * The converged companion runs IN the headline child process — the
+    headline line is already flushed, so a later crash costs only the
+    extra keys, and the warm in-process jit cache saves the ~75 s the
+    round-3 separate child spent rebuilding + re-deserializing.
+  * NO Stokes program: the initializer is ONE Newton step of the SAME
+    compiled headline program with the NS kernel at Re=1 (nu is a traced
+    pytree leaf, utils/kernelbase.py; the reference's own main() uses
+    Re=1 for its first pass, NavierStokesChannelFlow.py:567).  At w=0
+    the NS Jacobian IS the Stokes operator, so this is the Stokes init
+    by another (compile-free) name.  Round 3 spent 182 s here.
+  * The double-float refine program is AOT-compiled (lower+compile)
+    BEFORE the converged clock segment it is used in; its compile time
+    is recorded separately (``compile_refine_s``) per VERDICT item 1
+    ("report compile time separately from solve time").
+  * ``first_run_s`` is decomposed: ``newton_trace_s`` (jaxpr trace) +
+    ``newton_compile_s`` (XLA) are measured via AOT on the headline
+    program (item 4's breakdown).
+  * After the converged solve: the TRUE north-star tail — XDMF write,
+    re-read from disk, forward+reverse streamtrace with the reference's
+    200x200 reverse grid (InletBatchScript.py:39-77) — recorded as
+    ``trace_io_s`` and ``e2e_s = converged_solve_s + trace_io_s``.
+  * Roofline grounding (item 3): achieved HBM GB/s for the SpMV and
+    Jacobian-assembly phases as fractions of the chip's published HBM
+    bandwidth (ROOFLINE_HBM_GBPS, default 819 for v5e).
+
+Prints one JSON line per completed phase (same metric/value, growing
+key set):
   {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...}
 """
 
@@ -41,43 +65,18 @@ if os.environ.get("BENCH_CPU"):
 
     jax.config.update("jax_platforms", "cpu")
 
-# ONE PC throughout (VERDICT round-2: no pc zoo): the Jacobi-smoothed
-# V-cycle.  Measured across the whole candidate field (plane-GS, grouped,
-# line-CR, damped/hybrid line, zebra, semi-coarsened variants —
-# benchmarks/_line_cr_exp.py): mg_jacobi has the best fine-mesh NS
-# iteration counts (283 at lc=0.06/Re=10 vs 645 zebra, ~1400-2000 for
-# the line family), near-free applies (best reduction-per-millisecond in
-# the capped headline regime: 21.7 s vs 51.7 plane_gs / 111.4 mg at
-# 345k, round 2), and it is the one smoother PROVEN to compile inside
-# stepped Newton at 1.05M dofs (scanned plane-GS programs crash the
-# tunneled compiler >300k).  The converged companion's Newton stage
-# converges quadratically from the Stokes init (~4 steps) and the df
-# refinement stage only needs ksp_rtol 1e-2, so capped inner solves
-# suffice.
-#   ROUND-3 UPDATE: mg_cheby (degree-4 Chebyshev-accelerated
-#   block-Jacobi smoothing, solve/mg.py) makes the V-cycle near
-#   mesh-independent on the NS Jacobian — 18 its at 70k dofs, 25 at
-#   166k, 35 at 345k (mg_jacobi: 185/508/-) at the same fully-parallel
-#   per-sweep structure.
-#   ROUND-3 UPDATE 2 (the 1M-dof stall root cause): at evolved NS
-#   states above ~500k dofs the D^-1 A spectrum goes complex/nonnormal;
-#   the old final-sample power iteration underestimated |lambda|max by
-#   25-40% and the degree-4 polynomial AMPLIFIED the modes above the
-#   interval (V-cycle rho > 1, FGMRES flatlined at ~1.3x per 200 its —
-#   CPU-reproduced, solve/mg.py::_lam_max_tail docstring).  Fixed by
-#   the tail-max estimate + safety 1.4 + alpha 3 + DEGREE 6 (degree 4
-#   diverges at the 1.05M hard state even with the correct interval —
-#   the T_q(sigma) normalization sets the complex-plane safe region):
-#   measured V-cycle rho 0.86 at the previous stall state.
-#   BENCH_PC pins a single PC for A/B runs.
+# ONE PC throughout (VERDICT round-2: no pc zoo): the degree-6
+# Chebyshev-accelerated block-Jacobi V-cycle — the one smoother that is
+# mesh-near-independent on the NS Jacobian AND survives the evolved-state
+# complex spectrum at 1.05M dofs (history and measurements: solve/mg.py
+# _lam_max_tail docstring, ROUND3.md).  BENCH_PC pins a single PC for
+# A/B runs.
 HEADLINE_PC = os.environ.get("BENCH_PC", "mg_cheby6_bf16")
-CONVERGED_PC = HEADLINE_PC
+# v5e HBM roofline (GB/s); override per-chip with ROOFLINE_HBM_GBPS
+HBM_GBPS = float(os.environ.get("ROOFLINE_HBM_GBPS", "819"))
 
 
 def _budget() -> float:
-    # the headline JSON line prints early regardless; the budget mostly
-    # bounds the converged companion (round-2's driver timeout was
-    # ~3000 s — leave margin under it)
     return float(os.environ.get("BENCH_BUDGET_S", "2200"))
 
 
@@ -119,58 +118,74 @@ def build_problem(lc: float):
     mesh, _, _ = generate_channel_mesh(img, lc, DEFAULT, layered=True)
     W, lp, mask, g, g64, hier = _setup_layered(mesh, inlet1, inlet2,
                                                mg_levels=3)
-    return mesh, W, lp, mask, g, g64, hier
+    return dict(img=img, inlet1=inlet1, mesh=mesh, W=W, lp=lp, mask=mask,
+                g=g, g64=g64, hier=hier)
 
 
-def make_step(kernel, lp, mask, g, hier):
-    """One stepped-Newton dispatch (a single multi-minute XLA program
-    trips the tunneled device's watchdog at large sizes); inner solves to
-    ksp_rtol with a capped budget — better preconditioners genuinely
-    reduce the measured time."""
-    from stabilized_navier_stokes_flow_fenicsx_tpu.solve.driver import (
-        solve_newton_layered)
+def aot_newton_step(ctx, ksp_rtol=1e-3, ksp_max_restarts=4,
+                    pc=HEADLINE_PC):
+    """AOT-compile ONE max_it=1 Newton-step program (the headline shape)
+    and return (call, trace_s, compile_s).
 
-    def step(w, ksp_rtol, ksp_max_restarts, max_it=1, atol=0.0,
-             pc=HEADLINE_PC):
-        return solve_newton_layered(
-            kernel, lp.n2d, lp.n_planes, lp.bs, lp.arrays,
-            mask, g, w, lp.E,
-            0.0, atol, max_it, ksp_rtol, 50, ksp_max_restarts,
-            pc, hier)
-
-    return step
-
-
-def run_bench(lc: float, newton_its: int = 5):
-    import jax
-
+    The returned ``call(kern, w)`` dispatches the compiled executable
+    directly — the nu/C_I kernel leaves are dynamic, so the SAME
+    executable serves the Re=1 init rung, the target-Re Newton loop and
+    the headline timing loop.  Per-dispatch stepping (not one big Newton
+    jit) is the proven-safe shape at 1M+ dofs on the tunneled TPU."""
     from stabilized_navier_stokes_flow_fenicsx_tpu.forms.navier_stokes import (
         make_ns_sups_kernel)
     from stabilized_navier_stokes_flow_fenicsx_tpu.solve.driver import (
         solve_newton_layered)
 
-    deadline = _deadline()
-    t0 = time.time()
-    mesh, W, lp, mask, g, g64, hier = build_problem(lc)
-    setup_s = time.time() - t0
-    _note(f"bench: setup {setup_s:.1f}s ndofs={W.ndofs} "
-          f"cells={mesh.n_cells}")
+    lp, mask, g, hier = ctx["lp"], ctx["mask"], ctx["g"], ctx["hier"]
     kern = make_ns_sups_kernel("tetrahedron", nu=1.0 / 10.0)
-    step = make_step(kern, lp, mask, g, hier)
+    args = (kern, lp.n2d, lp.n_planes, lp.bs, lp.arrays, mask, g, g,
+            lp.E, 0.0, 0.0, 1, ksp_rtol, 50, ksp_max_restarts, pc,
+            ctx["hier"])
+    t0 = time.time()
+    lowered = solve_newton_layered.lower(*args)
+    trace_s = time.time() - t0
+    t0 = time.time()
+    compiled = lowered.compile()
+    compile_s = time.time() - t0
+
+    def call(kern, w):
+        # dynamic args only (statics are baked into the executable)
+        return compiled(kern, lp.arrays, mask, g, w, hier)
+
+    return call, trace_s, compile_s
+
+
+def run_bench(ctx, newton_its: int = 5):
+    import jax
+
+    from stabilized_navier_stokes_flow_fenicsx_tpu.forms.navier_stokes import (
+        make_ns_sups_kernel)
+
+    deadline = _deadline()
+    W, mesh = ctx["W"], ctx["mesh"]
+    kern = make_ns_sups_kernel("tetrahedron", nu=1.0 / 10.0)
+    t0 = time.time()
+    step, trace_s, compile_s = aot_newton_step(ctx)
+    _note(f"bench: newton program trace {trace_s:.1f}s "
+          f"compile {compile_s:.1f}s")
+    ctx["step"] = step
 
     def run5():
-        w, out = g, None
+        w, out = ctx["g"], None
         for _ in range(newton_its):
-            out = step(w, 1e-3, 4)
+            out = step(kern, w)
             w = out.x
         jax.block_until_ready(out.x)
         return out
 
-    t0 = time.time()
-    out = run5()                              # includes compile
+    t1 = time.time()
+    out = run5()
     resnorm = float(out.resnorm)              # full sync through host read
-    first_s = time.time() - t0
-    _note(f"bench: first run {first_s:.1f}s |F|={resnorm:.3e}")
+    first_s = time.time() - t1
+    cold_s = time.time() - t0                 # trace + compile + first run
+    _note(f"bench: first run {first_s:.1f}s (cold total {cold_s:.1f}s) "
+          f"|F|={resnorm:.3e}")
     # shared-pool TPU: take the min of repeated runs to suppress
     # multi-tenant contention noise — but never past the deadline
     steady_s = first_s
@@ -185,19 +200,23 @@ def run_bench(lc: float, newton_its: int = 5):
         "ndofs": W.ndofs,
         "n_cells": mesh.n_cells,
         "pc": HEADLINE_PC,
-        "setup_s": round(setup_s, 2),
-        "first_run_s": round(first_s, 2),
+        "setup_s": round(ctx["setup_s"], 2),
+        "newton_trace_s": round(trace_s, 2),
+        "newton_compile_s": round(compile_s, 2),
+        "first_run_s": round(cold_s, 2),
         "steady_s": round(steady_s, 3),
         "newton_its": int(out.iters),
         "resnorm": resnorm,
-    }, (lp, mask, g, g64, hier, step, W)
+    }
 
 
 def run_converged(info, ctx):
-    """BASELINE.md's actual metric: a CONVERGED solve at this mesh — MG
-    Stokes init, stepped Newton to the f32 floor, then double-float
-    iterative refinement to the reference's 1e-8·n0 (the production path
-    of flow/channel.py).  Deadline-checked between every dispatch."""
+    """BASELINE.md's actual metric: a CONVERGED solve at this mesh —
+    Re=1 Newton-step init (the compile-free Stokes equivalent), stepped
+    Newton to the f32 floor, then double-float iterative refinement to
+    the reference's 1e-8*n0.  The refine program is AOT-compiled first;
+    its compile time is reported separately (compile_refine_s) and the
+    converged clock counts only solve segments."""
     import jax.numpy as jnp
 
     from stabilized_navier_stokes_flow_fenicsx_tpu.assemble.df_assembly import (
@@ -205,71 +224,53 @@ def run_converged(info, ctx):
     from stabilized_navier_stokes_flow_fenicsx_tpu.forms.navier_stokes import (
         make_ns_sups_kernel)
     from stabilized_navier_stokes_flow_fenicsx_tpu.forms.navier_stokes_df import (
-        make_ns_sups_kernel_df)
-    from stabilized_navier_stokes_flow_fenicsx_tpu.forms.stokes import (
-        make_stokes_kernel)
+        make_ns_sups_kernel_df, split64)
     from stabilized_navier_stokes_flow_fenicsx_tpu.solve.driver import (
-        refine_newton_layered)
-    from stabilized_navier_stokes_flow_fenicsx_tpu.forms.navier_stokes_df import (
-        split64)
+        refine_newton_layered, residual_norm_layered)
 
     deadline = _deadline()
-    lp, mask, g, g64, hier, step, W = ctx
-    pc = CONVERGED_PC
-    hr = hier
-
-    # Stokes init through the SAME stepped-Newton program shape that
-    # compiles and runs at 1.05M (the headline path; the affine Stokes
-    # kernel makes one Newton step an exact linear solve).  The dedicated
-    # solve_linear_layered program was a fresh big compile at 1M and
-    # crashed the tunneled worker (round-3 measurement) — this shape is
-    # the proven-safe one.
-    stokes_k = make_stokes_kernel("tetrahedron", nu=1.0, mu_T_coeff=0.2)
-    stokes_step = make_step(stokes_k, lp, mask, g, hier)
-    t0 = time.time()
-    sres = stokes_step(g, 1e-6, 30, max_it=1, pc=pc)
-    w = sres.x
-    _note(f"conv: stokes {time.time() - t0:.1f}s |r|={float(sres.resnorm):.3e}")
-    # ||F(x_stokes)|| via the SMALL assembly-only program — a fresh
-    # max_it=0 Newton program at 1.05M crashed the tunneled TPU worker
-    # (round-3 measurement: every distinct static-arg tuple is a fresh
-    # ~5-minute compile at this scale, and big fresh compiles can kill
-    # the relay).
-    from stabilized_navier_stokes_flow_fenicsx_tpu.solve.driver import (
-        residual_norm_layered)
+    lp, mask, g, hier = ctx["lp"], ctx["mask"], ctx["g"], ctx["hier"]
+    step = ctx["step"]
+    pc = HEADLINE_PC
 
     ns_k = make_ns_sups_kernel("tetrahedron", nu=1.0 / 10.0)
+    ns_1 = make_ns_sups_kernel("tetrahedron", nu=1.0)
+
+    # ---- init rung: one Newton step at Re=1 through the SAME compiled
+    # headline program (at w=0 its Jacobian is the Stokes operator) ----
+    t0 = time.time()
+    out1 = step(ns_1, g)
+    w = out1.x
+    init_s = time.time() - t0
+    _note(f"conv: re1 init {init_s:.1f}s |F_1|={float(out1.resnorm):.3e}")
+
+    # ||F(w_init)|| at the TARGET Re via the small assembly-only program
+    # (SNES tol semantics: tol = 1e-8 * ||F(x_init)||)
+    t0 = time.time()
     r0 = float(residual_norm_layered(
         ns_k, lp.n2d, lp.n_planes, lp.bs, lp.arrays, mask, g, w, lp.E))
+    r0_s = time.time() - t0
     tol = 1e-8 * r0
     info["converged_r0"] = r0
-    # f32 Newton descends to its absolute noise floor; the df refinement
-    # below continues to the reference tolerance.
+    solve_s = init_s + r0_s
+
+    # ---- f32 Newton to its noise floor -------------------------------
     its, rn = 0, r0
-    last_step_s = 0.0
-    # Chebyshev V-cycle: reuse the HEADLINE step program verbatim
-    # (ksp_rtol 1e-3, 4 restarts = 200 its — mesh-near-independent counts
-    # make the cap ample, and an inexact-Newton forcing of 1e-3 reaches
-    # 1e-6 relative in ~3 steps).  Weaker PCs need the deep cap (the
-    # 400-it cap is what flatlined round 2's companion) — accept the
-    # fresh compile there.  atol stays 0.0: the host loop below enforces
-    # the stop, and baking r0 into a static arg would recompile per mesh.
-    ksp_rtol, restarts = (1e-3, 4) if "cheby" in pc else (1e-4, 40)
+    last_step_s = max(init_s, 1.0)
     while its < 10 and rn > 1e-6 * r0:
         if time.time() + max(60.0, 1.3 * last_step_s) > deadline - 60:
             _note("conv: newton deadline — stopping early")
             break
         t1 = time.time()
-        outc = step(w, ksp_rtol, restarts, pc=pc)
+        outc = step(ns_k, w)
         new_rn = float(outc.resnorm)     # blocks: the dispatch is async,
         last_step_s = time.time() - t1   # so time AFTER the host read
+        solve_s += last_step_s
         _note(f"conv: newton it {its} |F|={new_rn:.3e} "
               f"({last_step_s:.1f}s)")
         if bool(outc.stalled) or new_rn > 0.5 * rn:
             # f32 floor territory (less than 2x reduction per step): the
-            # df refinement below converges from here anyway (measured:
-            # 2.8e-2 -> 6e-10 in 4 refine steps at the smoke scale) and
-            # each extra Newton dispatch costs ~30 s at 1M dofs
+            # df refinement below converges from here anyway
             if new_rn < rn:          # keep the better iterate
                 w, rn = outc.x, new_rn
             break
@@ -278,36 +279,45 @@ def run_converged(info, ctx):
         its += 1
     info.update(converged_newton_its=its,
                 converged_rel_resnorm=rn / r0,
-                converged_solve_s=round(time.time() - t0, 2))
+                converged_solve_s=round(solve_s, 2))
     _mark_state(newton_done=True)
-    # flush the Newton-stage keys to stdout NOW: the refine program below
-    # is a fresh big compile that can crash the tunneled TPU worker, and
-    # a crash there must not erase the converged-Newton evidence (the
-    # driver reads the LAST JSON line, so the refine-stage emit below
-    # supersedes this one when it lands)
+    # flush the Newton-stage keys NOW: the refine compile below is the
+    # one big fresh program left and a crash there must not erase this
     emit(info)
 
-    # double-float refinement to the reference's 1e-8 (stepped).
-    # Kernels hoisted out of the loop: the factories return fresh
-    # closures, and the jit'd drivers treat the kernel as a static
-    # argument — a new object per iteration would recompile every step.
+    # ---- double-float refinement to the reference's 1e-8 -------------
     kdf = make_ns_sups_kernel_df("tetrahedron", nu=1.0 / 10.0)
-    dfr = DFResidual(W, kdf)
-    g_df = split64(g64)
+    dfr = DFResidual(ctx["W"], kdf)
+    g_df = split64(ctx["g64"])
     x_hi, x_lo = w, jnp.zeros_like(w)
+    n0_dev = jnp.asarray(r0, x_hi.dtype)
+    ref_args = (ns_k, kdf, lp.n2d, lp.n_planes, lp.bs, lp.E, lp.arrays,
+                dfr.dfa, mask, g_df.hi, g_df.lo, x_hi, n0_dev,
+                1e-8, 0.0, 1, 1e-2, 50, 8, pc, hier, x_lo)
+    if time.time() + 60 > deadline - 45:
+        _note("conv: no budget for refine compile")
+        return info
+    t0 = time.time()
+    lowered = refine_newton_layered.lower(*ref_args)
+    ref_trace_s = time.time() - t0
+    t0 = time.time()
+    ref_compiled = lowered.compile()
+    ref_compile_s = time.time() - t0
+    info["compile_refine_s"] = round(ref_trace_s + ref_compile_s, 2)
+    _note(f"conv: refine program trace {ref_trace_s:.1f}s "
+          f"compile {ref_compile_s:.1f}s")
+
     ref_its, ref_rn = 0, rn
     while ref_its < 8 and ref_rn > tol:
         if time.time() + max(60.0, 1.3 * last_step_s) > deadline - 45:
             _note("conv: refine deadline — stopping early")
             break
         t1 = time.time()
-        out = refine_newton_layered(
-            ns_k, kdf,
-            lp.n2d, lp.n_planes, lp.bs, lp.E, lp.arrays, dfr.dfa,
-            mask, g_df.hi, g_df.lo, x_hi, jnp.asarray(r0, x_hi.dtype),
-            1e-8, 0.0, 1, 1e-2, 50, 8, pc, hr, x_lo)
+        out = ref_compiled(ns_k, kdf, lp.arrays, dfr.dfa, mask,
+                           g_df.hi, g_df.lo, x_hi, n0_dev, hier, x_lo)
         new_rn = float(out.resnorm)      # blocks (async dispatch)
         last_step_s = time.time() - t1
+        solve_s += last_step_s
         _note(f"conv: refine it {ref_its} df|F|={new_rn:.3e} "
               f"({last_step_s:.1f}s)")
         if new_rn >= ref_rn or not np.isfinite(new_rn):
@@ -318,8 +328,135 @@ def run_converged(info, ctx):
         ref_its += 1
     info.update(refine_its=ref_its,
                 converged_rel_resnorm=ref_rn / r0,
-                converged_solve_s=round(time.time() - t0, 2),
+                converged_solve_s=round(solve_s, 2),
                 converged=bool(ref_rn <= tol))
+    ctx["x_hi"], ctx["x_lo"] = x_hi, x_lo
+    return info
+
+
+def run_trace_io(info, ctx):
+    """The north-star tail (VERDICT round-3 item 2): XDMF write + re-read
+    + forward/reverse streamtrace with the reference's 200x200 grid
+    (InletBatchScript.py:39-77) on the converged 1M-dof field."""
+    import shutil
+    import tempfile
+
+    from stabilized_navier_stokes_flow_fenicsx_tpu.config import DEFAULT
+    from stabilized_navier_stokes_flow_fenicsx_tpu.io.xdmf import (
+        read_xdmf_function, write_xdmf_function)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.trace.pipeline import (
+        for_and_rev_streamtrace)
+
+    deadline = _deadline()
+    if "x_hi" not in ctx or time.time() + 120 > deadline:
+        _note("trace: skipped (no converged field or no budget)")
+        return info
+    W, mesh = ctx["W"], ctx["mesh"]
+    w_full = np.asarray(ctx["x_hi"], np.float64) + np.asarray(ctx["x_lo"])
+    u, p = W.split(w_full)
+
+    folder = tempfile.mkdtemp(prefix="bench_trace_")
+    try:
+        t0 = time.time()
+        write_xdmf_function(f"{folder}/Re10ChannelVelocity", mesh,
+                            np.asarray(u), "Velocity")
+        write_xdmf_function(f"{folder}/Re10ChannelPressure", mesh,
+                            np.asarray(p), "Pressure")
+        io_write_s = time.time() - t0
+        t0 = time.time()
+        mesh_r, u_r = read_xdmf_function(
+            f"{folder}/Re10ChannelVelocity", "Velocity")
+        io_read_s = time.time() - t0
+        t0 = time.time()
+        seed_points = ctx["inlet1"].mesh.points
+        res = for_and_rev_streamtrace(
+            200, ctx["img"], mesh_r, u_r, seed_points, DEFAULT)
+        trace_s = time.time() - t0
+    finally:
+        shutil.rmtree(folder, ignore_errors=True)
+    trace_io_s = io_write_s + io_read_s + trace_s
+    info.update(
+        io_write_s=round(io_write_s, 2), io_read_s=round(io_read_s, 2),
+        trace_s=round(trace_s, 2), trace_io_s=round(trace_io_s, 2),
+        n_outlet_points=int(len(res.outlet_points)),
+        e2e_s=round(info.get("converged_solve_s", 0.0) + trace_io_s, 2))
+    _note(f"trace: write {io_write_s:.1f}s read {io_read_s:.1f}s "
+          f"trace {trace_s:.1f}s outlet_pts={len(res.outlet_points)}")
+    return info
+
+
+def _phase_bw(fn, args, n_rep=10):
+    """(achieved GB/s, fraction of HBM roofline) for a jitted phase."""
+    import jax
+
+    jitted = jax.jit(fn)
+    lowered = jitted.lower(*args)
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    nbytes = float(ca.get("bytes accessed", 0.0)) if ca else 0.0
+    out = compiled(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(n_rep):
+        out = compiled(*args)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / n_rep
+    gbps = nbytes / dt / 1e9
+    return gbps, gbps / HBM_GBPS, dt
+
+
+def run_roofline(info, ctx):
+    """Ground the perf claims in hardware (VERDICT round-3 item 3):
+    achieved HBM bandwidth of the bandwidth-bound phases as a fraction
+    of the chip roofline (HBM_GBPS)."""
+    import jax.numpy as jnp
+
+    from stabilized_navier_stokes_flow_fenicsx_tpu.assemble.assembly import (
+        AsmArrays, residual_of)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.assemble.layered import (
+        layered_matvec, matrix_values_layered)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.forms.navier_stokes import (
+        make_ns_sups_kernel)
+
+    deadline = _deadline()
+    lp, mask, g = ctx["lp"], ctx["mask"], ctx["g"]
+    kern = make_ns_sups_kernel("tetrahedron", nu=1.0 / 10.0)
+    arrays = lp.arrays
+    n2d, Lp, bs, E = lp.n2d, lp.n_planes, lp.bs, lp.E
+    ndofs = n2d * Lp * bs
+    try:
+        if time.time() + 90 > deadline:
+            return info
+        V = matrix_values_layered(kern, E, Lp, bs, arrays, g)
+        gbps, frac, dt = _phase_bw(
+            lambda v, x: layered_matvec(arrays, n2d, Lp, v, x), (V, g))
+        info.update(spmv_gbps=round(gbps, 1), spmv_bw_frac=round(frac, 3))
+        _note(f"roofline: spmv {gbps:.0f} GB/s ({frac:.2f} of "
+              f"{HBM_GBPS:.0f}) {dt * 1e3:.1f} ms")
+        if time.time() + 240 > deadline:
+            return info
+        asm_a = AsmArrays(
+            cell_dofs=arrays.cell_dofs, cell_coords=arrays.cell_coords,
+            indices=arrays.cols, row_ids=arrays.row_ids,
+            ell_pos=arrays.ell_pos, diag_pos=arrays.diag_pos)
+        gbps, frac, dt = _phase_bw(
+            lambda w: residual_of(kern, ndofs, asm_a, w), (g,), n_rep=5)
+        info.update(resid_gbps=round(gbps, 1),
+                    resid_bw_frac=round(frac, 3))
+        _note(f"roofline: residual {gbps:.0f} GB/s ({frac:.2f}) "
+              f"{dt * 1e3:.1f} ms")
+        if time.time() + 300 > deadline:
+            return info
+        gbps, frac, dt = _phase_bw(
+            lambda w: matrix_values_layered(kern, E, Lp, bs, arrays, w),
+            (g,), n_rep=3)
+        info.update(asm_gbps=round(gbps, 1), asm_bw_frac=round(frac, 3))
+        _note(f"roofline: jacobian {gbps:.0f} GB/s ({frac:.2f}) "
+              f"{dt * 1e3:.1f} ms")
+    except Exception as e:              # roofline is evidence, not product
+        _note(f"roofline: failed ({type(e).__name__}: {e})")
     return info
 
 
@@ -337,6 +474,16 @@ def previous_round_value():
     return best
 
 
+EMIT_KEYS = (
+    "pc", "newton_trace_s", "newton_compile_s", "first_run_s",
+    "converged_solve_s", "compile_refine_s", "converged_newton_its",
+    "refine_its", "converged_rel_resnorm", "converged",
+    "trace_io_s", "e2e_s", "n_outlet_points",
+    "spmv_gbps", "spmv_bw_frac", "resid_gbps", "resid_bw_frac",
+    "asm_gbps", "asm_bw_frac",
+)
+
+
 def emit(info):
     value = info["steady_s"]
     prev = previous_round_value()
@@ -348,8 +495,7 @@ def emit(info):
         "unit": "s",
         "vs_baseline": vs,
     }
-    for k in ("pc", "converged_solve_s", "converged_newton_its",
-              "refine_its", "converged_rel_resnorm", "converged"):
+    for k in EMIT_KEYS:
         if k in info:
             line[k] = info[k]
     print(json.dumps(line), flush=True)
@@ -358,30 +504,42 @@ def emit(info):
 
 
 def child(lc: float):
-    """Headline-only child: prints the JSON line, saves info to the
-    state file for the (crash-isolated) converged child."""
-    info, _ctx = run_bench(lc)
+    """One child process runs all phases in order, re-emitting the JSON
+    line as each phase completes.  The headline line is flushed first, so
+    later phases can only ADD evidence, never cost it."""
+    t0 = time.time()
+    ctx = build_problem(lc)
+    ctx["setup_s"] = time.time() - t0
+    _note(f"bench: setup {ctx['setup_s']:.1f}s ndofs={ctx['W'].ndofs} "
+          f"cells={ctx['mesh'].n_cells}")
+    info = run_bench(ctx)
     emit(info)                          # headline is now on stdout
     _mark_state(info=info, lc=lc)
+    info = run_converged(info, ctx)
+    emit(info)
+    _mark_state(converged_done=True, info=info)
+    info = run_trace_io(info, ctx)
+    info = run_roofline(info, ctx)
+    emit(info)
+    _mark_state(all_done=True, info=info)
 
 
 def child_converged(lc: float):
-    """Converged-companion child: own process (a TPU worker crash here
-    cannot erase the already-printed headline), rebuilds the problem
-    from the warm compilation cache."""
-    from stabilized_navier_stokes_flow_fenicsx_tpu.forms.navier_stokes import (
-        make_ns_sups_kernel)
-
+    """Fallback: converged+trace phases in a fresh process (used only
+    when the main child died after printing the headline)."""
     state = json.load(open(os.environ["BENCH_STATE"]))
     info = state["info"]
     t0 = time.time()
-    mesh, W, lp, mask, g, g64, hier = build_problem(lc)
-    _note(f"conv: rebuild {time.time() - t0:.1f}s")
-    kern = make_ns_sups_kernel("tetrahedron", nu=1.0 / 10.0)
-    step = make_step(kern, lp, mask, g, hier)
-    ctx = (lp, mask, g, g64, hier, step, W)
+    ctx = build_problem(lc)
+    ctx["setup_s"] = time.time() - t0
+    _note(f"conv: rebuild {ctx['setup_s']:.1f}s")
+    step, trace_s, compile_s = aot_newton_step(ctx)
+    ctx["step"] = step
     info = run_converged(info, ctx)
-    emit(info)                          # updated line with converged keys
+    emit(info)
+    info = run_trace_io(info, ctx)
+    info = run_roofline(info, ctx)
+    emit(info)
 
 
 def main():
@@ -429,19 +587,12 @@ def main():
                BENCH_STATE=state_file)
     # attempt ladder over (mesh, preconditioner): degree-6 Chebyshev
     # first (the one smoother that survives the evolved-state spectrum
-    # at 1.05M — see HEADLINE_PC notes), demoting to degree 4 in a
-    # FRESH child on any failure (mg_jacobi is NOT a fallback anymore:
-    # its fixed-omega sweeps diverge outright at evolved NS states,
-    # V-cycle rho ~ 1e2, CPU-measured).  BENCH_PC pins one PC (A/B).
+    # at 1.05M — see HEADLINE_PC notes), demoting degree/mesh in a FRESH
+    # child on any failure.  BENCH_PC pins one PC (A/B runs).
     user_pc = os.environ.get("BENCH_PC")
     if user_pc:
         attempts = [(lc0, user_pc), (0.035, user_pc)]
     else:
-        # degree stays >= 6 on every rung: with the tail-max interval,
-        # degree 4's T_4(sigma) normalization is too small for this
-        # operator family's complex spectrum at ANY state (CPU-measured
-        # rho ~ 24 even at the benign Stokes state at 1.05M) — the
-        # demotion axis is mesh size, not smoother strength
         attempts = [(lc0, "mg_cheby6_bf16"), (lc0, "mg_cheby8_bf16"),
                     (0.035, "mg_cheby6_bf16")]
     state = None
@@ -472,11 +623,11 @@ def main():
         _note(f"bench: attempt lc={try_lc} pc={pc} produced no "
               "headline; falling back")
         state = None
-    if state and state.get("printed"):
-        # converged companion in its OWN process: a TPU worker crash in
-        # the big fresh compiles here cannot cost the headline
+    if state and state.get("printed") and not state.get("all_done"):
+        # the child died mid-extras: finish the converged companion in a
+        # fresh process (warm persistent cache) if budget remains
         remaining = deadline - time.time() - 5
-        if remaining > 240:
+        if remaining > 240 and not state.get("converged_done"):
             try:
                 subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
@@ -486,12 +637,14 @@ def main():
                         os.path.abspath(__file__)) or ".")
             except subprocess.TimeoutExpired:
                 pass
-        else:
-            _note("bench: no budget left for the converged companion")
+        return
+    if state and state.get("printed"):
         return
     # last resort: tiny in-process run so the round records SOMETHING
     os.environ["BENCH_DEADLINE"] = str(time.time() + 600)
-    info, _ctx = run_bench(0.08)
+    ctx = build_problem(0.08)
+    ctx["setup_s"] = 0.0
+    info = run_bench(ctx)
     emit(info)
 
 
