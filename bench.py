@@ -179,10 +179,19 @@ def run_bench(ctx, newton_its: int = 5):
         jax.block_until_ready(out.x)
         return out
 
+    # first dispatch timed alone: on the tunneled backend the first
+    # execution of a fresh executable pays a program-load/warmup cost
+    # that is NOT part of .compile() (measured 132 s at 70k dofs in
+    # round 4) — keep it visible separately from the per-step cost
+    t1 = time.time()
+    out0 = step(kern, ctx["g"])
+    jax.block_until_ready(out0.x)
+    first_step_s = time.time() - t1
+    _note(f"bench: first dispatch {first_step_s:.1f}s")
     t1 = time.time()
     out = run5()
     resnorm = float(out.resnorm)              # full sync through host read
-    first_s = time.time() - t1
+    first_s = time.time() - t1 + first_step_s
     cold_s = time.time() - t0                 # trace + compile + first run
     _note(f"bench: first run {first_s:.1f}s (cold total {cold_s:.1f}s) "
           f"|F|={resnorm:.3e}")
@@ -203,6 +212,7 @@ def run_bench(ctx, newton_its: int = 5):
         "setup_s": round(ctx["setup_s"], 2),
         "newton_trace_s": round(trace_s, 2),
         "newton_compile_s": round(compile_s, 2),
+        "first_dispatch_s": round(first_step_s, 2),
         "first_run_s": round(cold_s, 2),
         "steady_s": round(steady_s, 3),
         "newton_its": int(out.iters),
@@ -236,6 +246,14 @@ def run_converged(info, ctx):
     ns_k = make_ns_sups_kernel("tetrahedron", nu=1.0 / 10.0)
     ns_1 = make_ns_sups_kernel("tetrahedron", nu=1.0)
 
+    # AOT the small assembly-only ||F|| program up front (its compile is
+    # bookkeeping, not solve time)
+    t0 = time.time()
+    rn_compiled = residual_norm_layered.lower(
+        ns_k, lp.n2d, lp.n_planes, lp.bs, lp.arrays, mask, g, g,
+        lp.E).compile()
+    _note(f"conv: resnorm program compile {time.time() - t0:.1f}s")
+
     # ---- init rung: one Newton step at Re=1 through the SAME compiled
     # headline program (at w=0 its Jacobian is the Stokes operator) ----
     t0 = time.time()
@@ -244,11 +262,10 @@ def run_converged(info, ctx):
     init_s = time.time() - t0
     _note(f"conv: re1 init {init_s:.1f}s |F_1|={float(out1.resnorm):.3e}")
 
-    # ||F(w_init)|| at the TARGET Re via the small assembly-only program
-    # (SNES tol semantics: tol = 1e-8 * ||F(x_init)||)
+    # ||F(w_init)|| at the TARGET Re (SNES tol semantics:
+    # tol = 1e-8 * ||F(x_init)||)
     t0 = time.time()
-    r0 = float(residual_norm_layered(
-        ns_k, lp.n2d, lp.n_planes, lp.bs, lp.arrays, mask, g, w, lp.E))
+    r0 = float(rn_compiled(ns_k, lp.arrays, mask, g, w))
     r0_s = time.time() - t0
     tol = 1e-8 * r0
     info["converged_r0"] = r0
@@ -475,7 +492,8 @@ def previous_round_value():
 
 
 EMIT_KEYS = (
-    "pc", "newton_trace_s", "newton_compile_s", "first_run_s",
+    "pc", "newton_trace_s", "newton_compile_s", "first_dispatch_s",
+    "first_run_s",
     "converged_solve_s", "compile_refine_s", "converged_newton_its",
     "refine_its", "converged_rel_resnorm", "converged",
     "trace_io_s", "e2e_s", "n_outlet_points",

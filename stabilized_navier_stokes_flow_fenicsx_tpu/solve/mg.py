@@ -403,14 +403,24 @@ def make_mg_pc(
                 rf = r.astype(jnp.float32)
                 x = Dinv(rf) / theta
                 dx = x
-                rho = 1.0 / sigma
-                for _ in range(q - 1):
+                rho = jnp.float32(1.0) / sigma
+
+                # lax.fori_loop, NOT a Python loop: an unrolled degree-q
+                # polynomial inlines q-1 SpMV graphs PER SMOOTHER
+                # INSTANCE and the XLA:TPU backend emits ~2 MB of code
+                # per SpMV — measured 50 MB of executable difference
+                # between degree 6 and degree 1 at 70k dofs, and the
+                # executable upload is the first-dispatch cost on the
+                # tunneled TPU (benchmarks/_codesize_probe.py).
+                def body(_, carry):
+                    x, dx, rho = carry
                     res = rf - mvk(x).astype(jnp.float32)
                     rho_new = 1.0 / (2.0 * sigma - rho)
                     dx = (rho_new * rho) * dx \
                         + (2.0 * rho_new / delta) * Dinv(res)
-                    x = x + dx
-                    rho = rho_new
+                    return (x + dx, dx, rho_new)
+
+                x, _, _ = jax.lax.fori_loop(0, q - 1, body, (x, dx, rho))
                 return x.astype(r.dtype)
             smoothers.append(sm)
         elif smoother == "zebra":

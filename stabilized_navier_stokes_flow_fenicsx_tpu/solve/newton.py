@@ -80,36 +80,41 @@ def newton_solve(
 
         # backtracking line search on ||F|| — while_loop so the common
         # full-step-accepted case costs ONE residual evaluation, not
-        # max_backtracks of them (residuals are ~0.3 s at bench scale)
+        # max_backtracks of them (residuals are ~0.3 s at bench scale).
+        # The FIRST trial (lam=1) is saved in the carry: when nothing
+        # helps, the "take the full step anyway" fallback reuses it —
+        # both a free fallback and one fewer residual graph in the
+        # executable (the XLA:TPU backend emits ~86 MB of code per
+        # assembly instance at bench scale, benchmarks/_codesize_probe.py)
         def ls_cond(carry):
-            lam, best_F, best_norm, accepted, k = carry
+            lam, best_F, best_norm, F1, n1, accepted, k = carry
             return (~accepted) & (k < max_backtracks)
 
         def ls_body(carry):
-            lam, best_F, best_norm, accepted, k = carry
+            lam, best_F, best_norm, F1, n1, accepted, k = carry
             Ft = residual(x + lam * dx)
             trial = jnp.linalg.norm(Ft)
+            first = k == 0
+            F1 = jnp.where(first, Ft, F1)
+            n1 = jnp.where(first, trial, n1)
             good = trial < (1.0 - 1e-4 * lam) * fnorm
             best_F = jnp.where(good, Ft, best_F)
             best_norm = jnp.where(good, trial, best_norm)
             lam_out = jnp.where(good, lam, lam * 0.5)
-            return (lam_out, best_F, best_norm, good, k + 1)
+            return (lam_out, best_F, best_norm, F1, n1, good, k + 1)
 
         lam0 = jnp.ones((), x.dtype)
-        lam, F_new, new_norm, accepted, _ = jax.lax.while_loop(
+        lam, F_new, new_norm, F1, n1, accepted, _ = jax.lax.while_loop(
             ls_cond, ls_body,
-            (lam0, F, fnorm, jnp.array(False), jnp.array(0, jnp.int32)))
+            (lam0, F, fnorm, F, fnorm, jnp.array(False),
+             jnp.array(0, jnp.int32)))
         # if nothing helped, take the full step anyway (SNES would diverge;
-        # we flag the stall instead and report converged=False)
+        # we flag the stall instead and report converged=False); F at the
+        # full step was the line search's first trial
         lam = jnp.where(accepted, lam, 1.0)
         x_new = x + lam * dx
-
-        def _full_step():
-            Ff = residual(x_new)
-            return Ff, jnp.linalg.norm(Ff)
-
-        F_new, new_norm = jax.lax.cond(
-            accepted, lambda: (F_new, new_norm), _full_step)
+        F_new = jnp.where(accepted, F_new, F1)
+        new_norm = jnp.where(accepted, new_norm, n1)
         stalled = (~accepted) & (new_norm >= fnorm)
         hist = hist.at[it].set(jnp.stack([
             new_norm, lam, sol.iters.astype(x.dtype), sol.resnorm]))

@@ -33,8 +33,10 @@ from .alpha_shape import alpha_shape_polygon, expand_bbox
 from .streamtrace import TraceConfigDevice, trace_particles
 
 # seeds per device dispatch: bounds the (chunk, K, dim^2) locator gather
-# intermediates and keeps single dispatches under the tunnel watchdog
-SEED_CHUNK = 2048
+# intermediates and keeps single dispatches under the tunnel watchdog.
+# 4096 after the Hermite event refinement halved the per-step velocity
+# evals (trace/streamtrace.py) — same per-dispatch work as the old 2048.
+SEED_CHUNK = 4096
 
 
 def _trace_chunked(cfg, dloc, u_dev, seeds, reverse):

@@ -118,7 +118,7 @@ def trace_segment(
         x4 = x + dt * (B4 @ K)
         scale = cfg.atol + cfg.rtol * jnp.maximum(jnp.abs(x), jnp.abs(x5))
         err = jnp.sqrt(jnp.mean(((x5 - x4) / scale) ** 2))
-        return x5, err, K[0]
+        return x5, err, K
 
     plane = cfg.x_stop
     sdir = float(cfg.stop_direction)
@@ -131,17 +131,44 @@ def trace_segment(
         def body(s):
             x, t, dt, done, steps, k = s
             dt_eff = jnp.minimum(dt, cfg.t_max - t)
-            x_new, err, v0 = rk_step(x, dt_eff)
+            x_new, err, K = rk_step(x, dt_eff)
+            v0 = K[0]
             accept = err <= 1.0
             speed = jnp.linalg.norm(v0)
             speed_stop = speed < cfg.speed_eps
             g0 = (x[0] - plane) * sdir
             g1 = (x_new[0] - plane) * sdir
             hit = (g0 < 0) & (g1 >= 0) & accept
-            frac = jnp.where(hit, jnp.clip(-g0 / jnp.maximum(g1 - g0, 1e-300),
-                                           0.0, 1.0), 1.0)
-            x_hit, _, _ = rk_step(x, dt_eff * frac)
-            x_acc = jnp.where(hit, x_hit, x_new)
+            # event refinement on a FREE dense interpolant: the old path
+            # re-integrated a partial RK step to land on the plane — 7
+            # more velocity evals (locator queries) per step, executed
+            # unconditionally under vmap, doubling the trace cost.
+            # DP45 is FSAL (K[6] = f(x_new)), so a cubic Hermite through
+            # (x, v0) -> (x_new, v6) is available with zero extra
+            # velocity evals; bisecting it refines the crossing TIME too
+            # (the old linear-chord frac had O(h^2) error, the Hermite
+            # path error is O(h^4)).
+            v6 = K[6]
+
+            def dense(theta):
+                t2 = theta * theta
+                t3 = t2 * theta
+                return ((2 * t3 - 3 * t2 + 1) * x
+                        + (t3 - 2 * t2 + theta) * dt_eff * v0
+                        + (-2 * t3 + 3 * t2) * x_new
+                        + (t3 - t2) * dt_eff * v6)
+
+            def bis(_, lohi):
+                lo, hi = lohi
+                mid = 0.5 * (lo + hi)
+                gm = (dense(mid)[0] - plane) * sdir
+                return (jnp.where(gm < 0, mid, lo),
+                        jnp.where(gm < 0, hi, mid))
+
+            lo, hi = jax.lax.fori_loop(
+                0, 16, bis, (jnp.zeros((), dtype), jnp.ones((), dtype)))
+            frac = jnp.where(hit, hi, 1.0)
+            x_acc = jnp.where(hit, dense(frac), x_new)
             t_new = jnp.where(accept, t + dt_eff * jnp.where(hit, frac, 1.0), t)
             x_out = jnp.where(accept, x_acc, x)
             fac = jnp.clip(0.9 * err ** (-0.2), 0.2, 5.0)
