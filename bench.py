@@ -185,8 +185,8 @@ def run_bench(ctx, newton_its: int = 5):
     # round 4) — keep it visible separately from the per-step cost
     t1 = time.time()
     out0 = step(kern, ctx["g"])
-    jax.block_until_ready(out0.x)
-    first_step_s = time.time() - t1
+    float(out0.resnorm)    # host read: block_until_ready is a no-op on
+    first_step_s = time.time() - t1       # the tunneled axon buffers
     _note(f"bench: first dispatch {first_step_s:.1f}s")
     t1 = time.time()
     out = run5()
@@ -402,23 +402,29 @@ def run_trace_io(info, ctx):
     return info
 
 
-def _phase_bw(fn, args, n_rep=10):
-    """(achieved GB/s, fraction of HBM roofline) for a jitted phase."""
-    import jax
+def _phase_bw(fn, args, nbytes, n_rep=10):
+    """(achieved GB/s, fraction of HBM roofline) for a jitted phase.
 
-    jitted = jax.jit(fn)
-    lowered = jitted.lower(*args)
-    compiled = lowered.compile()
-    ca = compiled.cost_analysis()
-    if isinstance(ca, (list, tuple)):
-        ca = ca[0]
-    nbytes = float(ca.get("bytes accessed", 0.0)) if ca else 0.0
-    out = compiled(*args)
-    jax.block_until_ready(out)
+    ``nbytes`` is the FIRST-PRINCIPLES algorithmic byte count (the
+    streams the algorithm must move), NOT XLA cost_analysis's "bytes
+    accessed" — the latter sums per-op operand bytes including
+    fusion-internal traffic and overcounts ~8-50x (measured round 4),
+    which would make the fraction unfalsifiable."""
+    import jax
+    import jax.numpy as jnp
+
+    def _sync(out):
+        # block_until_ready is a no-op on tunneled axon buffers; a
+        # scalar host read is the only reliable fence
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.sum(leaf).astype(jnp.float32))
+
+    compiled = jax.jit(fn).lower(*args).compile()
+    _sync(compiled(*args))
     t0 = time.time()
     for _ in range(n_rep):
         out = compiled(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     dt = (time.time() - t0) / n_rep
     gbps = nbytes / dt / 1e9
     return gbps, gbps / HBM_GBPS, dt
@@ -443,13 +449,29 @@ def run_roofline(info, ctx):
     arrays = lp.arrays
     n2d, Lp, bs, E = lp.n2d, lp.n_planes, lp.bs, lp.E
     ndofs = n2d * Lp * bs
+    nc = int(arrays.cell_dofs.shape[0])
+    ndl = int(arrays.cell_dofs.shape[1])
+    nnzb = E * 3 * Lp
+    # first-principles stream bytes (f32):
+    #   spmv: value tensor once + x gathered per directed pair-plane
+    #         (3-plane stack) + y write
+    spmv_bytes = nnzb * bs * bs * 4 + 3 * nnzb * bs * 4 + 2 * ndofs * 4
+    #   residual: per cell, dof ids (int32) + gathered w + coords, plus
+    #             the segment-sum contribution write/read and y
+    resid_bytes = nc * (ndl * 4 + ndl * 4 + 12 * 4) \
+        + 2 * nc * ndl * 4 + 2 * ndofs * 4
+    #   jacobian: same cell streams + the (bs, bs) block value writes
+    jac_bytes = nc * (ndl * 4 + ndl * 4 + 12 * 4) + nnzb * bs * bs * 4 \
+        + 2 * nc * ndl * ndl * 4
     try:
         if time.time() + 90 > deadline:
             return info
         V = matrix_values_layered(kern, E, Lp, bs, arrays, g)
         gbps, frac, dt = _phase_bw(
-            lambda v, x: layered_matvec(arrays, n2d, Lp, v, x), (V, g))
-        info.update(spmv_gbps=round(gbps, 1), spmv_bw_frac=round(frac, 3))
+            lambda v, x: layered_matvec(arrays, n2d, Lp, v, x), (V, g),
+            spmv_bytes)
+        info.update(spmv_gbps=round(gbps, 1), spmv_bw_frac=round(frac, 3),
+                    spmv_ms=round(dt * 1e3, 2))
         _note(f"roofline: spmv {gbps:.0f} GB/s ({frac:.2f} of "
               f"{HBM_GBPS:.0f}) {dt * 1e3:.1f} ms")
         if time.time() + 240 > deadline:
@@ -459,17 +481,20 @@ def run_roofline(info, ctx):
             indices=arrays.cols, row_ids=arrays.row_ids,
             ell_pos=arrays.ell_pos, diag_pos=arrays.diag_pos)
         gbps, frac, dt = _phase_bw(
-            lambda w: residual_of(kern, ndofs, asm_a, w), (g,), n_rep=5)
+            lambda w: residual_of(kern, ndofs, asm_a, w), (g,),
+            resid_bytes, n_rep=5)
         info.update(resid_gbps=round(gbps, 1),
-                    resid_bw_frac=round(frac, 3))
+                    resid_bw_frac=round(frac, 3),
+                    resid_ms=round(dt * 1e3, 2))
         _note(f"roofline: residual {gbps:.0f} GB/s ({frac:.2f}) "
               f"{dt * 1e3:.1f} ms")
         if time.time() + 300 > deadline:
             return info
         gbps, frac, dt = _phase_bw(
             lambda w: matrix_values_layered(kern, E, Lp, bs, arrays, w),
-            (g,), n_rep=3)
-        info.update(asm_gbps=round(gbps, 1), asm_bw_frac=round(frac, 3))
+            (g,), jac_bytes, n_rep=3)
+        info.update(asm_gbps=round(gbps, 1), asm_bw_frac=round(frac, 3),
+                    asm_ms=round(dt * 1e3, 2))
         _note(f"roofline: jacobian {gbps:.0f} GB/s ({frac:.2f}) "
               f"{dt * 1e3:.1f} ms")
     except Exception as e:              # roofline is evidence, not product
@@ -497,8 +522,8 @@ EMIT_KEYS = (
     "converged_solve_s", "compile_refine_s", "converged_newton_its",
     "refine_its", "converged_rel_resnorm", "converged",
     "trace_io_s", "e2e_s", "n_outlet_points",
-    "spmv_gbps", "spmv_bw_frac", "resid_gbps", "resid_bw_frac",
-    "asm_gbps", "asm_bw_frac",
+    "spmv_gbps", "spmv_bw_frac", "spmv_ms", "resid_gbps",
+    "resid_bw_frac", "resid_ms", "asm_gbps", "asm_bw_frac", "asm_ms",
 )
 
 

@@ -44,8 +44,12 @@ def _trace_chunked(cfg, dloc, u_dev, seeds, reverse):
     for s in range(0, len(seeds), SEED_CHUNK):
         chunk = seeds[s : s + SEED_CHUNK]
         pad = 0
-        if len(chunk) < SEED_CHUNK and len(seeds) > SEED_CHUNK:
-            pad = SEED_CHUNK - len(chunk)     # reuse the compiled shape
+        if len(chunk) < SEED_CHUNK:
+            # ALWAYS pad to the chunk shape: with the traced-pytree
+            # TraceConfigDevice the forward trace, every reverse chunk
+            # and every Re rung then share ONE compiled executable per
+            # mesh (trace compiles measured ~30-60 s each on the relay)
+            pad = SEED_CHUNK - len(chunk)
             chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, axis=0)])
         end = np.asarray(trace_particles(
             cfg, dloc, u_dev, jnp.asarray(chunk), reverse))

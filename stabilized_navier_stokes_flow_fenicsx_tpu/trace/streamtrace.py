@@ -42,7 +42,15 @@ _B4 = np.array([5179 / 57600, 0, 7571 / 16695, 393 / 640, -92097 / 339200,
 
 
 class TraceConfigDevice(NamedTuple):
-    """Static trace parameters (baked into the jitted program)."""
+    """Trace parameters.
+
+    Passed to the jitted segment as a DYNAMIC pytree (the same trick as
+    the traced-parameter element kernels, utils/kernelbase.py): the
+    forward and reverse traces — and every Re rung of a sweep — share
+    ONE compiled executable per (mesh, chunk) shape instead of one per
+    parameter set.  Only ``max_steps`` is read on the host (dispatch
+    count); everything else traces.
+    """
 
     t_max: float = 20.0
     max_step: float = 0.125
@@ -52,6 +60,7 @@ class TraceConfigDevice(NamedTuple):
     rtol: float = 1e-6
     atol: float = 1e-8
     max_steps: int = 4096
+    sign: float = 1.0             # velocity sign: -1.0 = reverse trace
 
 
 def _velocity(dloc: DeviceLocator, u_nodes: jnp.ndarray, x: jnp.ndarray,
@@ -85,20 +94,21 @@ def init_trace_state(seeds: jnp.ndarray, cfg: TraceConfigDevice,
     )
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5))
+@partial(jax.jit, static_argnums=(4,))
 def trace_segment(
     cfg: TraceConfigDevice,
     dloc: DeviceLocator,
     u_nodes: jnp.ndarray,
     state: TraceState,
-    reverse: bool = False,
     seg_steps: int = 256,
 ) -> TraceState:
     """Advance all seeds by at most seg_steps RK45 steps (one bounded
     device dispatch — a full 4096-step batched integration in a single
-    program can outlive the device watchdog)."""
-    sign = -1.0 if reverse else 1.0
+    program can outlive the device watchdog).  cfg is a traced pytree:
+    forward/reverse (cfg.sign) and every event-plane/tolerance variant
+    share one executable per shape."""
     dtype = u_nodes.dtype
+    sign = jnp.asarray(cfg.sign, dtype)
     A = jnp.asarray(_A, dtype)
     B5 = jnp.asarray(_B5, dtype)
     B4 = jnp.asarray(_B4, dtype)
@@ -121,7 +131,7 @@ def trace_segment(
         return x5, err, K
 
     plane = cfg.x_stop
-    sdir = float(cfg.stop_direction)
+    sdir = jnp.asarray(cfg.stop_direction, dtype)
 
     def one_seed(st_x, st_t, st_dt, st_done, st_steps):
         def cond(s):
@@ -199,10 +209,12 @@ def trace_particles(
     reverse=True negates the field (velfunc_reverese, :159-173).
     Dispatches bounded 256-step segments until every seed terminates.
     """
+    if reverse:
+        cfg = cfg._replace(sign=-1.0)
     state = init_trace_state(seeds, cfg, u_nodes.dtype)
-    max_dispatch = -(-cfg.max_steps // 256)
+    max_dispatch = -(-int(cfg.max_steps) // 256)
     for _ in range(max_dispatch):
-        state = trace_segment(cfg, dloc, u_nodes, state, reverse, 256)
+        state = trace_segment(cfg, dloc, u_nodes, state, 256)
         if bool(state.done.all()):
             break
     return state.x
