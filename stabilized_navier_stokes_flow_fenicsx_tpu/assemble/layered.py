@@ -217,7 +217,9 @@ def build_layered(
     # Assembly numerics depend on env vars read at BUILD time (above):
     # record which Jacobian-assembly path this pattern will take so
     # benchmarks/tests can assert it instead of guessing from the env.
-    asm_path = ("structured" if arrays.sasm is not None
+    asm_path = ("structured_soa" if arrays.sasm is not None
+                and arrays.sasm.coordsT is not None
+                else "structured" if arrays.sasm is not None
                 else "gather" if arrays.gtab is not None else "scatter")
     # adapter so matrix_values_of(kernel, nnzb, bs, ...) can be reused: it
     # only needs ell_pos/cell_dofs/cell_coords + nnzb
@@ -266,6 +268,36 @@ def matrix_values_layered(
     else:
         V = assemble_jacobian_chunked(kernel, nnz_layer, bs, asm_arrays, w)
     return V.reshape(bs, bs, 3, E, Lp)
+
+
+def residual_layered(
+    kernel: Callable,
+    n2d: int,
+    n_planes: int,
+    bs: int,
+    arrays: LayeredArrays,
+    w: jnp.ndarray,
+) -> jnp.ndarray:
+    """Global residual on the layered path.
+
+    Takes the SoA structured route (cell-minor kernel + plane-sliced
+    gather + scatter-free reduction, assemble/structured.py) when the
+    build attached the tables and the kernel carries an SoA variant;
+    falls back to the generic segment-sum ``residual_of`` otherwise
+    (slab-sharded arrays, non-extruded meshes, foreign kernels)."""
+    if (arrays.sasm is not None and arrays.sasm.coordsT is not None
+            and getattr(kernel, "res_soa", None)):
+        from .structured import residual_structured
+
+        return residual_structured(kernel, n_planes, arrays.sasm, w)
+    from .assembly import residual_of
+
+    ndofs = n2d * n_planes * bs
+    asm_arrays = AsmArrays(
+        cell_dofs=arrays.cell_dofs, cell_coords=arrays.cell_coords,
+        indices=arrays.cols, row_ids=arrays.row_ids,
+        ell_pos=arrays.ell_pos, diag_pos=arrays.diag_pos)
+    return residual_of(kernel, ndofs, asm_arrays, w)
 
 
 def layered_matvec(

@@ -82,9 +82,16 @@ def make_ns_sups_kernel(
 
     Returns an ElementKernel pytree: (nu, C_I) are traced leaves, so the
     jitted drivers compile ONE program per mesh and reuse it across the
-    Re sweep / continuation ladder (utils/kernelbase.py)."""
+    Re sweep / continuation ladder (utils/kernelbase.py).  On 3D cells
+    the SoA variants (forms/soa.py) ride along for the structured
+    assembly fast path."""
+    soa = None
+    if cell == "tetrahedron":
+        from .soa import make_sups_soa
+
+        soa = make_sups_soa(cell, transposed_stab, qdeg)
     return ElementKernel(*_sups_fns(cell, transposed_stab, qdeg),
-                         (nu, C_I))
+                         (nu, C_I), soa=soa)
 
 
 @functools.lru_cache(maxsize=None)
@@ -247,7 +254,12 @@ def make_ns_ugn_kernel(
 
     Returns an ElementKernel pytree with nu as a traced leaf (see
     make_ns_sups_kernel)."""
-    return ElementKernel(*_ugn_fns(cell, qdeg), (nu,))
+    soa = None
+    if cell == "tetrahedron":
+        from .soa import make_ugn_soa
+
+        soa = make_ugn_soa(cell, qdeg)
+    return ElementKernel(*_ugn_fns(cell, qdeg), (nu,), soa=soa)
 
 
 @functools.lru_cache(maxsize=None)

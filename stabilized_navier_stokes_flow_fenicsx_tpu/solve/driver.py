@@ -20,7 +20,7 @@ from ..assemble.assembly import (
 from ..assemble.df_assembly import DFArrays, df_residual_of
 from ..assemble.layered import (
     LayeredArrays, layered_diag_blocks, layered_matvec,
-    make_layered_op, matrix_values_layered)
+    make_layered_op, matrix_values_layered, residual_layered)
 from ..utils.dfloat import DF, df_add, df_mul
 from .krylov import KrylovResult, cg, fgmres
 from .newton import NewtonResult, newton_solve
@@ -208,13 +208,9 @@ def solve_linear_layered(
 ) -> KrylovResult:
     """Affine form on the layered operator: FGMRES + node-block Jacobi."""
     ndofs = n2d * n_planes * bs
-    asm_arrays = AsmArrays(
-        cell_dofs=arrays.cell_dofs, cell_coords=arrays.cell_coords,
-        indices=arrays.cols, row_ids=arrays.row_ids,
-        ell_pos=arrays.ell_pos, diag_pos=arrays.diag_pos)
     zero = jnp.zeros(ndofs, mask.dtype)
     values = matrix_values_layered(kernel, E, n_planes, bs, arrays, zero)
-    b = -residual_of(kernel, ndofs, asm_arrays, zero)
+    b = -residual_layered(kernel, n2d, n_planes, bs, arrays, zero)
     b_bc = mask * (b - layered_matvec(arrays, n2d, n_planes, values, g)) + g
     A = make_layered_op(arrays, n2d, n_planes, values, mask)
     M = _layered_pc(pc, arrays, n2d, n_planes, mask, mg)(values)
@@ -241,12 +237,7 @@ def residual_norm_layered(
     ~5 minutes on the tunneled TPU and has crashed its worker
     (round-3 measurement); this assembly-only program is ~10x smaller.
     """
-    ndofs = n2d * n_planes * bs
-    asm_arrays = AsmArrays(
-        cell_dofs=arrays.cell_dofs, cell_coords=arrays.cell_coords,
-        indices=arrays.cols, row_ids=arrays.row_ids,
-        ell_pos=arrays.ell_pos, diag_pos=arrays.diag_pos)
-    r = residual_of(kernel, ndofs, asm_arrays, w)
+    r = residual_layered(kernel, n2d, n_planes, bs, arrays, w)
     return jnp.linalg.norm(mask * r + (1.0 - mask) * (w - g))
 
 
@@ -272,14 +263,8 @@ def solve_newton_layered(
 ) -> NewtonResult:
     """Newton on the layered (plane-structured) operator — the fast path
     for extruded channel meshes (see assemble/layered.py)."""
-    ndofs = n2d * n_planes * bs
-    asm_arrays = AsmArrays(
-        cell_dofs=arrays.cell_dofs, cell_coords=arrays.cell_coords,
-        indices=arrays.cols, row_ids=arrays.row_ids,
-        ell_pos=arrays.ell_pos, diag_pos=arrays.diag_pos)
-
     def residual(w):
-        r = residual_of(kernel, ndofs, asm_arrays, w)
+        r = residual_layered(kernel, n2d, n_planes, bs, arrays, w)
         return mask * r + (1.0 - mask) * (w - g)
 
     def jac_values(w):

@@ -42,26 +42,41 @@ class ElementKernel:
     ``params`` (a tuple of scalars/arrays) are pytree leaves; the
     element functions receive them as their first argument.  Extra
     static attributes (e.g. the df kernels' nv/bs) ride in ``attrs``.
+
+    ``kernel.res_soa`` / ``kernel.jac_soa`` are the optional
+    structure-of-arrays variants (forms/soa.py: cell-minor (…, C)
+    layout, the VPU-shaped assembly) — bound the same way, or None.
     """
 
-    def __init__(self, res_fn, jac_fn, params, attrs=()):
+    def __init__(self, res_fn, jac_fn, params, attrs=(), soa=None):
         self._res = res_fn
         self._jac = jac_fn
         self.params = tuple(params)
         self._attrs = tuple(attrs)
+        self._soa = soa
         for k, v in self._attrs:
             setattr(self, k, v)
         if jac_fn is not None:
             self.jac = lambda coords, w: jac_fn(self.params, coords, w)
         else:
             self.jac = None
+        if soa is not None:
+            res_soa_fn, jac_soa_fn = soa
+            self.res_soa = (lambda cT, wT:
+                            res_soa_fn(self.params, cT, wT))
+            self.jac_soa = (lambda cT, wT:
+                            jac_soa_fn(self.params, cT, wT))
+        else:
+            self.res_soa = None
+            self.jac_soa = None
 
     def __call__(self, coords, w):
         return self._res(self.params, coords, w)
 
     def tree_flatten(self):
-        return self.params, (self._res, self._jac, self._attrs)
+        return self.params, (self._res, self._jac, self._attrs, self._soa)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(aux[0], aux[1], leaves, aux[2])
+        soa = aux[3] if len(aux) > 3 else None
+        return cls(aux[0], aux[1], leaves, aux[2], soa)

@@ -134,3 +134,53 @@ def test_ell_matvec_matches_layered(channel, monkeypatch):
     plain = lp.arrays._replace(ell_perm=None, ell_mask=None, ell_cols=None)
     y_ref = np.asarray(make_layered_op(plain, n2d, n_planes, vals, mask)(x))
     np.testing.assert_allclose(y_ell, y_ref, rtol=0, atol=1e-11)
+
+
+def test_structured_soa_residual_and_path(channel):
+    """SoA structured residual == generic segment-sum residual, and the
+    build records the SoA path (round 4, assemble/structured.py)."""
+    from stabilized_navier_stokes_flow_fenicsx_tpu.assemble.assembly import (
+        AsmArrays, residual_of)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.assemble.layered import (
+        residual_layered)
+
+    mesh = channel
+    n2d, n_planes, _ = mesh.layered
+    W = make_mixed_space(mesh, 1, 1)
+    lp = build_layered(W, n2d, n_planes)
+    assert lp.asm_path == "structured_soa"
+    kern = make_ns_sups_kernel("tetrahedron", nu=0.1)
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.normal(size=W.ndofs) * 0.1)
+
+    a = lp.arrays
+    asm_a = AsmArrays(cell_dofs=a.cell_dofs, cell_coords=a.cell_coords,
+                      indices=a.cols, row_ids=a.row_ids,
+                      ell_pos=a.ell_pos, diag_pos=a.diag_pos)
+    r_ref = np.asarray(residual_of(kern, lp.ndofs, asm_a, w))
+    r_soa = np.asarray(residual_layered(kern, n2d, n_planes, lp.bs, a, w))
+    np.testing.assert_allclose(r_soa, r_ref, rtol=0,
+                               atol=1e-12 * max(1.0, np.abs(r_ref).max()))
+
+
+def test_structured_soa_vs_aos_jacobian(channel, monkeypatch):
+    """SoA and AoS structured Jacobian buffers agree through the shared
+    reduction (same mesh, same kernel, f64)."""
+    import os
+
+    mesh = channel
+    n2d, n_planes, _ = mesh.layered
+    W = make_mixed_space(mesh, 1, 1)
+    kern = make_ns_sups_kernel("tetrahedron", nu=0.1)
+    rng = np.random.default_rng(2)
+    lp = build_layered(W, n2d, n_planes)
+    w = jnp.asarray(rng.normal(size=W.ndofs) * 0.1)
+    V_soa = matrix_values_layered(kern, lp.E, n_planes, lp.bs,
+                                  lp.arrays, w)
+    monkeypatch.setitem(os.environ, "NS_TPU_NO_SOA", "1")
+    lp_aos = build_layered(W, n2d, n_planes)
+    assert lp_aos.asm_path == "structured"
+    V_aos = matrix_values_layered(kern, lp_aos.E, n_planes, lp_aos.bs,
+                                  lp_aos.arrays, w)
+    np.testing.assert_allclose(np.asarray(V_soa), np.asarray(V_aos),
+                               rtol=0, atol=1e-11)
