@@ -402,14 +402,21 @@ def run_trace_io(info, ctx):
     return info
 
 
-def _phase_bw(fn, args, nbytes, n_rep=10):
+def _phase_bw(fn, args, nbytes, n_rep=10, chain=1):
     """(achieved GB/s, fraction of HBM roofline) for a jitted phase.
 
     ``nbytes`` is the FIRST-PRINCIPLES algorithmic byte count (the
     streams the algorithm must move), NOT XLA cost_analysis's "bytes
     accessed" — the latter sums per-op operand bytes including
     fusion-internal traffic and overcounts ~8-50x (measured round 4),
-    which would make the fraction unfalsifiable."""
+    which would make the fraction unfalsifiable.
+
+    ``chain`` > 1 applies fn to its own output that many times INSIDE
+    one jitted program (fn must be an endomorphism in its last arg) —
+    required for sub-10ms phases, where the ~4-5 ms per-dispatch floor
+    of the tunneled TPU otherwise swamps the kernel (measured: the
+    1.05M-dof SpMV reads 0.15 of roofline per-dispatch, 0.7+ chained).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -419,13 +426,21 @@ def _phase_bw(fn, args, nbytes, n_rep=10):
         leaf = jax.tree_util.tree_leaves(out)[0]
         return float(jnp.sum(leaf).astype(jnp.float32))
 
+    if chain > 1:
+        inner = fn
+
+        def fn(*a):
+            def body(_, x):
+                return inner(*a[:-1], x)
+            return jax.lax.fori_loop(0, chain, body, a[-1])
+
     compiled = jax.jit(fn).lower(*args).compile()
     _sync(compiled(*args))
     t0 = time.time()
     for _ in range(n_rep):
         out = compiled(*args)
     _sync(out)
-    dt = (time.time() - t0) / n_rep
+    dt = (time.time() - t0) / n_rep / chain
     gbps = nbytes / dt / 1e9
     return gbps, gbps / HBM_GBPS, dt
 
@@ -436,10 +451,8 @@ def run_roofline(info, ctx):
     of the chip roofline (HBM_GBPS)."""
     import jax.numpy as jnp
 
-    from stabilized_navier_stokes_flow_fenicsx_tpu.assemble.assembly import (
-        AsmArrays, residual_of)
     from stabilized_navier_stokes_flow_fenicsx_tpu.assemble.layered import (
-        layered_matvec, matrix_values_layered)
+        layered_matvec, matrix_values_layered, residual_layered)
     from stabilized_navier_stokes_flow_fenicsx_tpu.forms.navier_stokes import (
         make_ns_sups_kernel)
 
@@ -467,22 +480,43 @@ def run_roofline(info, ctx):
         if time.time() + 90 > deadline:
             return info
         V = matrix_values_layered(kern, E, Lp, bs, arrays, g)
+        # chained (16 back-to-back matvecs in ONE program): the ~4-5 ms
+        # relay dispatch floor otherwise swamps the ~1 ms kernel
         gbps, frac, dt = _phase_bw(
             lambda v, x: layered_matvec(arrays, n2d, Lp, v, x), (V, g),
-            spmv_bytes)
+            spmv_bytes, n_rep=4, chain=16)
         info.update(spmv_gbps=round(gbps, 1), spmv_bw_frac=round(frac, 3),
                     spmv_ms=round(dt * 1e3, 2))
         _note(f"roofline: spmv {gbps:.0f} GB/s ({frac:.2f} of "
               f"{HBM_GBPS:.0f}) {dt * 1e3:.1f} ms")
+        if time.time() + 120 > deadline:
+            return info
+        # ELL A/B (VERDICT round-3 item 9): same values, scatter-free
+        # gathered-x layout — one recorded number at the bench mesh
+        try:
+            from stabilized_navier_stokes_flow_fenicsx_tpu.assemble. \
+                pallas_spmv import build_ell
+
+            ell = build_ell(arrays, n2d, Lp)
+            arr_ell = arrays._replace(
+                ell_perm=jnp.asarray(ell.perm),
+                ell_mask=jnp.asarray(ell.slot_mask, g.dtype),
+                ell_cols=jnp.asarray(ell.cols))
+            gbps, frac, dt = _phase_bw(
+                lambda v, x: layered_matvec(arr_ell, n2d, Lp, v, x),
+                (V, g), spmv_bytes, n_rep=4, chain=16)
+            info.update(spmv_ell_gbps=round(gbps, 1),
+                        spmv_ell_ms=round(dt * 1e3, 2))
+            _note(f"roofline: spmv-ell {gbps:.0f} GB/s ({frac:.2f}) "
+                  f"{dt * 1e3:.1f} ms")
+        except Exception as e:
+            _note(f"roofline: spmv-ell skipped ({type(e).__name__}: {e})")
         if time.time() + 240 > deadline:
             return info
-        asm_a = AsmArrays(
-            cell_dofs=arrays.cell_dofs, cell_coords=arrays.cell_coords,
-            indices=arrays.cols, row_ids=arrays.row_ids,
-            ell_pos=arrays.ell_pos, diag_pos=arrays.diag_pos)
+        # the SHIPPING residual path (SoA structured when available)
         gbps, frac, dt = _phase_bw(
-            lambda w: residual_of(kern, ndofs, asm_a, w), (g,),
-            resid_bytes, n_rep=5)
+            lambda w: residual_layered(kern, n2d, Lp, bs, arrays, w),
+            (g,), resid_bytes, n_rep=5)
         info.update(resid_gbps=round(gbps, 1),
                     resid_bw_frac=round(frac, 3),
                     resid_ms=round(dt * 1e3, 2))
@@ -494,9 +528,9 @@ def run_roofline(info, ctx):
             lambda w: matrix_values_layered(kern, E, Lp, bs, arrays, w),
             (g,), jac_bytes, n_rep=3)
         info.update(asm_gbps=round(gbps, 1), asm_bw_frac=round(frac, 3),
-                    asm_ms=round(dt * 1e3, 2))
+                    asm_ms=round(dt * 1e3, 2), asm_path=ctx["lp"].asm_path)
         _note(f"roofline: jacobian {gbps:.0f} GB/s ({frac:.2f}) "
-              f"{dt * 1e3:.1f} ms")
+              f"{dt * 1e3:.1f} ms [{ctx['lp'].asm_path}]")
     except Exception as e:              # roofline is evidence, not product
         _note(f"roofline: failed ({type(e).__name__}: {e})")
     return info
@@ -522,8 +556,10 @@ EMIT_KEYS = (
     "converged_solve_s", "compile_refine_s", "converged_newton_its",
     "refine_its", "converged_rel_resnorm", "converged",
     "trace_io_s", "e2e_s", "n_outlet_points",
-    "spmv_gbps", "spmv_bw_frac", "spmv_ms", "resid_gbps",
+    "spmv_gbps", "spmv_bw_frac", "spmv_ms", "spmv_ell_gbps",
+    "spmv_ell_ms", "resid_gbps",
     "resid_bw_frac", "resid_ms", "asm_gbps", "asm_bw_frac", "asm_ms",
+    "asm_path",
 )
 
 

@@ -134,8 +134,12 @@ class TraceConfig:
     num_seeds_batch: int = 200       # InletBatchScript.py:41
     num_seeds_cli: int = 50          # streamtrace.py main (:669)
     limits: float = 0.5              # plot limits
-    rtol: float = 1e-6               # RK45 adaptive rtol (scipy defaults 1e-3; we
-    atol: float = 1e-8               # default tighter since device steps are cheap)
+    rtol: float = 1e-3               # RK45 adaptive rtol — scipy solve_ivp
+    atol: float = 1e-6               # defaults, which the reference runs at
+    # (streamtrace.py:206, 365 pass no tolerances).  Round 3 used
+    # 1e-6/1e-8 "since device steps are cheap"; at 1M dofs the trace is
+    # bandwidth-bound on locator gathers and those 1000x-tighter-than-
+    # parity tolerances made it 86% of the end-to-end time.
     max_steps: int = 4096            # static bound on RK45 steps under vmap
 
 

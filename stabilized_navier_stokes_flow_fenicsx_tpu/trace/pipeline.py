@@ -25,36 +25,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config, DEFAULT
-from ..fem.interpolate import build_locator, device_locator
+from ..fem.interpolate import build_trace_locator
 from ..mesh.core import SimplexMesh
 from ..mesh.image import get_contours, load_image, optimize_contour
 from ..mesh.tri2d import points_in_polygon
 from .alpha_shape import alpha_shape_polygon, expand_bbox
 from .streamtrace import TraceConfigDevice, trace_particles
 
-# seeds per device dispatch: bounds the (chunk, K, dim^2) locator gather
-# intermediates and keeps single dispatches under the tunnel watchdog.
-# 4096 after the Hermite event refinement halved the per-step velocity
-# evals (trace/streamtrace.py) — same per-dispatch work as the old 2048.
+# seeds per device dispatch: bounds the locator gather intermediates and
+# keeps single dispatches under the tunnel watchdog.  trace_particles
+# COMPACTS not-done seeds across chunks between 128-step segments and
+# always pads to this width, so the whole pipeline (forward + every
+# reverse round + every Re rung) runs ONE compiled executable per mesh
+# (trace compiles measured ~30-60 s each on the relay).
 SEED_CHUNK = 4096
 
 
 def _trace_chunked(cfg, dloc, u_dev, seeds, reverse):
-    outs = []
-    for s in range(0, len(seeds), SEED_CHUNK):
-        chunk = seeds[s : s + SEED_CHUNK]
-        pad = 0
-        if len(chunk) < SEED_CHUNK:
-            # ALWAYS pad to the chunk shape: with the traced-pytree
-            # TraceConfigDevice the forward trace, every reverse chunk
-            # and every Re rung then share ONE compiled executable per
-            # mesh (trace compiles measured ~30-60 s each on the relay)
-            pad = SEED_CHUNK - len(chunk)
-            chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, axis=0)])
-        end = np.asarray(trace_particles(
-            cfg, dloc, u_dev, jnp.asarray(chunk), reverse))
-        outs.append(end[: len(end) - pad])
-    return np.concatenate(outs, axis=0)
+    return np.asarray(trace_particles(
+        cfg, dloc, u_dev, jnp.asarray(seeds), reverse, chunk=SEED_CHUNK))
 
 
 @dataclasses.dataclass
@@ -95,8 +84,7 @@ def for_and_rev_streamtrace(
     contour3 = update_contour(img_fname, cfg)
     inner_contour = contour3[:, 1:3]
 
-    loc = build_locator(mesh)
-    dloc = device_locator(loc)
+    dloc = build_trace_locator(mesh)
     u_dev = jnp.asarray(u_nodal)
 
     fwd_cfg = TraceConfigDevice(

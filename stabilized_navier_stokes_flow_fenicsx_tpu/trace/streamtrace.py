@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fem.interpolate import DeviceLocator, locate_device
+from ..fem.interpolate import DeviceLocator, locate_any
 
 # Dormand-Prince RK45 tableau
 _C = np.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
@@ -65,8 +65,12 @@ class TraceConfigDevice(NamedTuple):
 
 def _velocity(dloc: DeviceLocator, u_nodes: jnp.ndarray, x: jnp.ndarray,
               sign: float) -> jnp.ndarray:
-    """Velocity at point x; zero outside the domain (velfunc semantics)."""
-    cell, bary = locate_device(dloc, x)
+    """Velocity at point x; zero outside the domain (velfunc semantics).
+
+    dloc may be the general DeviceLocator or the extrusion-aware
+    LayeredDeviceLocator (~5x less gather traffic per eval; the trace is
+    bandwidth-bound on exactly this stream at 1M dofs)."""
+    cell, bary = locate_any(dloc, x)
     nodal = u_nodes[dloc.cells[jnp.maximum(cell, 0)]]   # (nv, 3)
     v = jnp.einsum("v,vi->i", bary, nodal)
     return jnp.where(cell >= 0, sign * v, 0.0)
@@ -203,18 +207,61 @@ def trace_particles(
     u_nodes: jnp.ndarray,
     seeds: jnp.ndarray,            # (n, 3)
     reverse: bool = False,
+    chunk: int = 0,
+    seg_steps: int = 128,
 ) -> jnp.ndarray:
     """Integrate all seeds; returns endpoints (n, 3).
 
     reverse=True negates the field (velfunc_reverese, :159-173).
-    Dispatches bounded 256-step segments until every seed terminates.
+
+    chunk > 0 enables COMPACTED chunked dispatch (the product path for
+    big seed grids): under vmap a finished lane still executes — and
+    pays the locator gather bandwidth of — every remaining step of its
+    batch, and wall-stalled stragglers run to max_steps (4096), so one
+    straggler per 4096-seed chunk used to drag the whole chunk through
+    all 16 segments.  Between bounded seg_steps segments the not-done
+    seeds of ALL chunks are re-packed (host-side, ~100 KB round trips)
+    into fresh chunk-width batches, always padded to the SAME width so
+    every dispatch reuses ONE compiled executable per mesh.
     """
     if reverse:
         cfg = cfg._replace(sign=-1.0)
-    state = init_trace_state(seeds, cfg, u_nodes.dtype)
-    max_dispatch = -(-int(cfg.max_steps) // 256)
-    for _ in range(max_dispatch):
-        state = trace_segment(cfg, dloc, u_nodes, state, 256)
-        if bool(state.done.all()):
+    if not chunk:
+        state = init_trace_state(seeds, cfg, u_nodes.dtype)
+        max_dispatch = -(-int(cfg.max_steps) // seg_steps)
+        for _ in range(max_dispatch):
+            state = trace_segment(cfg, dloc, u_nodes, state, seg_steps)
+            if bool(state.done.all()):
+                break
+        return state.x
+
+    n = int(seeds.shape[0])
+    dtype = u_nodes.dtype
+    full = init_trace_state(jnp.asarray(seeds), cfg, dtype)
+    host = [np.array(f) for f in full]       # x, t, dt, done, steps
+    x, t, dt, done, steps = host
+    max_rounds = -(-int(cfg.max_steps) // seg_steps)
+    for _ in range(max_rounds):
+        idx = np.nonzero(~done)[0]
+        if not len(idx):
             break
-    return state.x
+        for s in range(0, len(idx), chunk):
+            sel = idx[s : s + chunk]
+            pad = chunk - len(sel)
+            selp = np.concatenate([sel, np.full(pad, sel[-1])]) \
+                if pad else sel
+            st = TraceState(
+                x=jnp.asarray(x[selp]), t=jnp.asarray(t[selp]),
+                dt=jnp.asarray(dt[selp]),
+                done=jnp.asarray(done[selp]) if not pad else
+                jnp.asarray(np.concatenate(
+                    [done[sel], np.ones(pad, bool)])),
+                steps=jnp.asarray(steps[selp]))
+            st = trace_segment(cfg, dloc, u_nodes, st, seg_steps)
+            m = len(sel)
+            x[sel] = np.asarray(st.x)[:m]
+            t[sel] = np.asarray(st.t)[:m]
+            dt[sel] = np.asarray(st.dt)[:m]
+            done[sel] = np.asarray(st.done)[:m]
+            steps[sel] = np.asarray(st.steps)[:m]
+    return jnp.asarray(x)

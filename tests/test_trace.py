@@ -94,6 +94,93 @@ def test_trace_speed_event_stops():
     np.testing.assert_allclose(end[0], seeds[0], atol=1e-9)
 
 
+def _small_channel(tmp_path, lc=0.12):
+    from stabilized_navier_stokes_flow_fenicsx_tpu.mesh.extrude import (
+        extrude_channel)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.mesh.image import (
+        get_contours, load_image, optimize_contour)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.mesh.tri2d import (
+        triangulate_cross_section)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.utils.testimg import (
+        make_annulus_image)
+
+    img = str(tmp_path / "c.png")
+    make_annulus_image(img, "circle", size=300)
+    g = load_image(img)
+    cs = get_contours(g)
+    co, _ = optimize_contour(cs[0], cutoff=0.15, mesh_lc_frac=0.01)
+    ci, _ = optimize_contour(cs[1], cutoff=0.15, mesh_lc_frac=0.01)
+    inner = ci[:, [1, 0]]
+    tri = triangulate_cross_section(inner, co[:, [1, 0]], lc=lc)
+    return extrude_channel(tri, inner, lc=lc, compact=False)
+
+
+def test_layered_locator_matches_general(tmp_path):
+    """LayeredDeviceLocator (extrusion-recovered) agrees with the general
+    grid locator: same containment and identical interpolated values."""
+    import jax
+
+    from stabilized_navier_stokes_flow_fenicsx_tpu.fem.interpolate import (
+        build_layered_locator, locate_device, locate_device_layered)
+
+    mesh = _small_channel(tmp_path)
+    lay = build_layered_locator(mesh)
+    assert lay is not None
+    gen = device_locator(build_locator(mesh))
+    rng = np.random.default_rng(3)
+    q = np.stack([rng.uniform(0.05, 3.95, 400),
+                  rng.uniform(-0.6, 0.6, 400),
+                  rng.uniform(-0.6, 0.6, 400)], axis=1)
+    # strictly-interior points only (tol-boundary points may legally
+    # resolve to different neighbor cells)
+    cg, bg = jax.vmap(lambda p: locate_device(gen, p, -1e-9))(
+        jnp.asarray(q))
+    cl, bl = jax.vmap(lambda p: locate_device_layered(lay, p, -1e-9))(
+        jnp.asarray(q))
+    cg, cl = np.asarray(cg), np.asarray(cl)
+    interior = cg >= 0
+    assert interior.sum() > 100
+    np.testing.assert_array_equal(cl[interior] >= 0,
+                                  np.ones(interior.sum(), bool))
+    # value agreement: interpolate a linear field through both
+    vals = (2.0 * mesh.points[:, 0] - 0.7 * mesh.points[:, 1]
+            + 0.3 * mesh.points[:, 2])
+    for c, b in ((cg, np.asarray(bg)), (cl, np.asarray(bl))):
+        got = np.einsum("nv,nv->n", b[interior],
+                        vals[mesh.cells[c[interior]]])
+        want = (2.0 * q[interior, 0] - 0.7 * q[interior, 1]
+                + 0.3 * q[interior, 2])
+        np.testing.assert_allclose(got, want, atol=1e-5)
+    # outside the channel -> -1 on both
+    qo = np.array([[2.0, 5.0, 5.0], [-1.0, 0.0, 0.0]])
+    co_l, _ = jax.vmap(lambda p: locate_device_layered(lay, p))(
+        jnp.asarray(qo))
+    assert (np.asarray(co_l) == -1).all()
+
+
+def test_layered_locator_survives_xdmf_roundtrip(tmp_path):
+    """Extrusion recovery works on a mesh re-read from XDMF — the
+    product trace path (InletBatchScript re-reads from disk)."""
+    from stabilized_navier_stokes_flow_fenicsx_tpu.fem.interpolate import (
+        LayeredDeviceLocator, build_trace_locator)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.io.xdmf import (
+        read_xdmf_function, write_xdmf_function)
+
+    mesh = _small_channel(tmp_path)
+    u = np.zeros((mesh.n_nodes, 3))
+    u[:, 0] = 1.0
+    write_xdmf_function(str(tmp_path / "V"), mesh, u, "Velocity")
+    mesh_r, u_r = read_xdmf_function(str(tmp_path / "V"), "Velocity")
+    dloc = build_trace_locator(mesh_r)
+    assert isinstance(dloc, LayeredDeviceLocator)
+    # and the tracer runs on it end to end
+    seeds = np.array([[0.0, 0.05, 0.0], [0.0, -0.05, 0.1]])
+    cfg = TraceConfigDevice(x_stop=3.7, stop_direction=1)
+    end = np.asarray(trace_particles(cfg, dloc, jnp.asarray(u_r),
+                                     jnp.asarray(seeds)))
+    np.testing.assert_allclose(end[:, 0], 3.7, atol=1e-3)
+
+
 def test_alpha_shape_circle():
     rng = np.random.default_rng(2)
     th = rng.uniform(0, 2 * np.pi, 500)
