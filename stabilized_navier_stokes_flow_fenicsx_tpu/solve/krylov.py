@@ -7,7 +7,9 @@ with tfqmr+ASM (NavierStokes/NavierStokesChannelFlow.py:198-202), bcgs
 (image2inlet.py:272).  The discrete solution of a converged Krylov solve is
 solver-independent, so parity needs matching *tolerances*, not matching
 algorithms; we keep FGMRES (robust for the stabilized saddle-point system),
-BiCGStab (cheap), and CG (SPD inlet Poisson).
+BiCGStab (cheap), CG (SPD inlet Poisson), MINRES (Taylor-Hood saddle
+point) — and TFQMR itself (the reference's Newton KSP), for exact
+algorithmic parity where wanted.
 
 All loops are ``lax.while_loop``s — one XLA program per solve, zero host
 round-trips.  Operators are closures x -> A x (matrix-free or block-CSR).
@@ -101,6 +103,78 @@ def bicgstab(A, b, x0=None, M=None, rtol=1e-10, atol=0.0, max_it=10000
     x, r, *_, it, _brk = jax.lax.while_loop(cond, body, state)
     rn = jnp.linalg.norm(r)
     return KrylovResult(x, it, rn, rn <= tol)
+
+
+def tfqmr(A, b, x0=None, M=None, rtol=1e-10, atol=0.0, max_it=10000
+          ) -> KrylovResult:
+    """Right-preconditioned transpose-free QMR (Freund 1993).
+
+    The reference's actual Newton Krylov: PETSc ``ksp_type tfqmr`` + ASM
+    (NavierStokes/NavierStokesChannelFlow.py:198-202).  Structured as a
+    ``lax.while_loop`` over HALF-steps so each body carries exactly one
+    operator apply and one preconditioner apply (same per-matvec cost as
+    BiCGStab, and no ``lax.cond`` duplication of the A/M graphs — the
+    executable-size rule of docs/ARCHITECTURE.md).  ``max_it`` counts
+    matvecs (half-steps), matching PETSc's accounting.
+
+    Convergence uses the standard quasi-residual bound
+    ``|r_j| <= tau_j * sqrt(j+1)`` — the same estimate PETSc's KSPTFQMR
+    convergence test monitors — and ``converged`` reports that bound.
+    The returned ``resnorm`` is the TRUE residual norm ``|b - A x|``
+    computed once after the loop; in finite precision it can sit a small
+    factor above the bound at deep tolerances.
+    """
+    M = M or _ident
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - A(x0)
+    bnorm = jnp.linalg.norm(b)
+    tol = jnp.maximum(rtol * bnorm, atol)
+    rstar = r0
+    Mu0 = M(r0)
+    Bu0 = A(Mu0)
+    tiny = 1e-30
+
+    def cond(s):
+        (x, w, u, Mu, Bu, v, d, tau, theta, eta, rho, alpha, it, brk) = s
+        # quasi-residual bound tau * sqrt(it+1)
+        bound = tau * jnp.sqrt(jnp.asarray(it + 1, tau.dtype))
+        return (bound > tol) & (it < max_it) & (~brk)
+
+    def body(s):
+        (x, w, u, Mu, Bu, v, d, tau, theta, eta, rho, alpha, it, brk) = s
+        even = (it % 2) == 0
+        sigma = jnp.vdot(rstar, v)
+        alpha = jnp.where(even, rho / sigma, alpha)
+        w = w - alpha * Bu
+        d = Mu + (theta * theta * eta / alpha) * d
+        theta_n = jnp.linalg.norm(w) / tau
+        c = 1.0 / jnp.sqrt(1.0 + theta_n * theta_n)
+        tau_n = tau * theta_n * c
+        eta_n = c * c * alpha
+        x = x + eta_n * d
+        # next search direction: even half uses u - alpha v; odd half
+        # restarts from w with the new rho
+        rho_new = jnp.vdot(rstar, w)
+        beta = rho_new / rho
+        u_next = jnp.where(even, u - alpha * v, w + beta * u)
+        Mu_next = M(u_next)
+        Bu_next = A(Mu_next)
+        v_next = jnp.where(even, v, Bu_next + beta * (Bu + beta * v))
+        rho_n = jnp.where(even, rho, rho_new)
+        brk = (jnp.abs(sigma) < tiny) | (jnp.abs(rho_n) < tiny)
+        return (x, w, u_next, Mu_next, Bu_next, v_next, d, tau_n,
+                theta_n, eta_n, rho_n, alpha, it + 1, brk)
+
+    zero = jnp.zeros((), b.dtype)
+    state = (x0, r0, r0, Mu0, Bu0, Bu0, jnp.zeros_like(b),
+             jnp.linalg.norm(r0), zero, zero, jnp.vdot(r0, r0),
+             jnp.ones((), b.dtype), jnp.array(0, jnp.int32),
+             jnp.array(False))
+    out = jax.lax.while_loop(cond, body, state)
+    x, tau, it = out[0], out[7], out[12]
+    bound = tau * jnp.sqrt(jnp.asarray(it + 1, tau.dtype))
+    rn = jnp.linalg.norm(b - A(x))
+    return KrylovResult(x, it, rn, bound <= tol)
 
 
 def fgmres(
