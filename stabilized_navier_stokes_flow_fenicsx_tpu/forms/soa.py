@@ -179,9 +179,11 @@ def _states(phi_np, g, wT, dtype, nq):
     Gu = [[sum(g[a][j] * wv[a][i] for a in range(4)) for j in range(3)]
           for i in range(3)]
     gp = [sum(g[a][j] * wv[a][3] for a in range(4)) for j in range(3)]
-    u_q = [[sum(phi_np[q, a] * wv[a][i] for a in range(4))
+    # float() keeps the basis values weakly typed: a raw numpy f64
+    # scalar would promote the whole f32 state to f64 under x64
+    u_q = [[sum(float(phi_np[q, a]) * wv[a][i] for a in range(4))
             for i in range(3)] for q in range(nq)]
-    p_q = [sum(phi_np[q, a] * wv[a][3] for a in range(4))
+    p_q = [sum(float(phi_np[q, a]) * wv[a][3] for a in range(4))
            for q in range(nq)]
     return Gu, gp, u_q, p_q
 
@@ -219,8 +221,11 @@ def _flux_jacobian(flux, s, dtype, C):
     """
     _, flin = jax.linearize(flux, *s)
     eye = np.eye(_M)
-    tangs = [jnp.broadcast_to(jnp.asarray(eye[k], dtype)[:, None],
-                              (_M, C)) for k in range(_M)]
+    # tangent dtype must match each primal aval exactly (the refined
+    # double-float path runs f64 primals under an f32 config dtype)
+    tangs = [jnp.broadcast_to(
+        jnp.asarray(eye[k], jnp.result_type(s[k]))[:, None],
+        (_M, C)) for k in range(_M)]
     outs = jax.vmap(flin)(*tangs)          # tuple of 16 (16_in, C)
     return jnp.stack(outs, axis=0)         # (16_out, 16_in, C)
 
