@@ -25,28 +25,30 @@ pc = sys.argv[2] if len(sys.argv) > 2 else "mg_cheby6_bf16"
 import bench
 
 os.environ.setdefault("BENCH_DEADLINE", str(time.time() + 3600))
-mesh, W, lp, mask, g, g64, hier = bench.build_problem(lc)
-print(f"ndofs={W.ndofs}", flush=True)
+ctx = bench.build_problem(lc)
+print(f"ndofs={ctx['W'].ndofs}", flush=True)
 
 from stabilized_navier_stokes_flow_fenicsx_tpu.forms.navier_stokes import (
     make_ns_sups_kernel)
 
 kern = make_ns_sups_kernel("tetrahedron", nu=1.0 / 10.0)
-step = bench.make_step(kern, lp, mask, g, hier)
+call, trace_s, compile_s = bench.aot_newton_step(ctx, pc=pc)
+print(f"trace {trace_s:.1f}s compile {compile_s:.1f}s", flush=True)
 
 # warm: two steps (compile + get to an evolved state like bench steps 1+)
-out = step(g, 1e-3, 4, pc=pc)
+out = call(kern, ctx["g"])
 w = out.x
 float(out.resnorm)
 t0 = time.time()
-out = step(w, 1e-3, 4, pc=pc)
+out = call(kern, w)
 w2 = out.x
+float(out.resnorm)
 print(f"warm step {time.time() - t0:.2f}s", flush=True)
 
 tdir = "/tmp/step_trace"
 os.system(f"rm -rf {tdir}")
 with jax.profiler.trace(tdir):
-    out = step(w, 1e-3, 4, pc=pc)
+    out = call(kern, w)
     float(out.resnorm)
 
 # parse the perfetto trace: sum durations per op name on device tracks

@@ -94,6 +94,12 @@ class SolverConfig:
     ksp_atol: float = 0.0
     ksp_max_it: int = 1000
     ksp_restart: int = 50            # FGMRES restart length
+    # Newton inner Krylov: "fgmres" (default — robust on the stabilized
+    # saddle point and cheapest per matvec here) or "tfqmr", the
+    # reference's actual SNES KSP (NavierStokesChannelFlow.py:198-202)
+    # for exact algorithmic parity; tfqmr gets the same total matvec
+    # budget (restart * max_restarts).
+    ksp_type: str = "fgmres"
     line_search: bool = True         # backtracking (PETSc SNES default is bt)
     monitor: bool = False
     # double-float iterative refinement (solve/refine.py): pushes the

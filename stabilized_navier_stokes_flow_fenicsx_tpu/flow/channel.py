@@ -269,7 +269,7 @@ def solve_ns_flow(
                 mask_c, g_c, x_rung, lp_c.E,
                 scfg.newton_rtol, scfg.newton_atol, scfg.newton_max_it,
                 scfg.ksp_rtol, scfg.ksp_restart, 40, scfg.pc_newton,
-                mg_c)
+                mg_c, scfg.ksp_type)
             x_rung = nres_c.x
         timings["coarse_ns"] = time.time() - t0
     else:
@@ -324,7 +324,8 @@ def solve_ns_flow(
             ns_f, lp_f.n2d, lp_f.n_planes, lp_f.bs, lp_f.arrays,
             mask_f, g_f, w0_f, lp_f.E,
             scfg.newton_rtol, scfg.newton_atol, scfg.newton_max_it,
-            scfg.ksp_rtol, scfg.ksp_restart, 40, scfg.pc_newton, mg_f)
+            scfg.ksp_rtol, scfg.ksp_restart, 40, scfg.pc_newton, mg_f,
+            scfg.ksp_type)
     else:
         asm_f, mask_f, g_f, g64_f = setup_f
         patf = asm_f.pattern

@@ -241,7 +241,7 @@ def residual_norm_layered(
     return jnp.linalg.norm(mask * r + (1.0 - mask) * (w - g))
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3) + tuple(range(8, 16)))
+@partial(jax.jit, static_argnums=(1, 2, 3) + tuple(range(8, 16)) + (17,))
 def solve_newton_layered(
     kernel: Callable,
     n2d: int,
@@ -260,6 +260,7 @@ def solve_newton_layered(
     ksp_max_restarts: int = 40,
     pc: str = "plane_gs",
     mg=None,
+    ksp: str = "fgmres",
 ) -> NewtonResult:
     """Newton on the layered (plane-structured) operator — the fast path
     for extruded channel meshes (see assemble/layered.py)."""
@@ -278,7 +279,8 @@ def solve_newton_layered(
     return newton_solve(
         residual, jac_values, make_op, make_pc, w0,
         rtol=rtol, atol=atol, max_it=max_it, ksp_rtol=ksp_rtol,
-        ksp_restart=ksp_restart, ksp_max_restarts=ksp_max_restarts)
+        ksp_restart=ksp_restart, ksp_max_restarts=ksp_max_restarts,
+        ksp=ksp)
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3, 4) + tuple(range(9, 16)))
@@ -426,6 +428,7 @@ def solve_newton_layered_stepped(
     kernel, n2d, n_planes, bs, arrays, mask, g, w0, E,
     rtol=1e-8, atol=1e-8, max_it=30, ksp_rtol=1e-8,
     ksp_restart=50, ksp_max_restarts=40, pc="plane_gs", mg=None,
+    ksp="fgmres",
 ):
     """Host-stepped Newton: one max_it=1 device program per iteration.
 
@@ -439,7 +442,7 @@ def solve_newton_layered_stepped(
 
     probe = solve_newton_layered(
         kernel, n2d, n_planes, bs, arrays, mask, g, w0, E,
-        0.0, 0.0, 0, ksp_rtol, ksp_restart, ksp_max_restarts, pc, mg)
+        0.0, 0.0, 0, ksp_rtol, ksp_restart, ksp_max_restarts, pc, mg, ksp)
     r0 = float(probe.resnorm)
     tol = max(rtol * r0, atol)
     w, rn, hist, stalled = w0, r0, [], False
@@ -447,7 +450,8 @@ def solve_newton_layered_stepped(
     while its < max_it and rn > tol:
         out = solve_newton_layered(
             kernel, n2d, n_planes, bs, arrays, mask, g, w, E,
-            0.0, tol, 1, ksp_rtol, ksp_restart, ksp_max_restarts, pc, mg)
+            0.0, tol, 1, ksp_rtol, ksp_restart, ksp_max_restarts, pc, mg,
+            ksp)
         new_rn = float(out.resnorm)
         hist.append(np.asarray(out.history)[0])
         its += 1

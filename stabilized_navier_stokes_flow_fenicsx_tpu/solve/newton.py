@@ -18,7 +18,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .krylov import fgmres
+from .krylov import fgmres, tfqmr
 
 
 class NewtonResult(NamedTuple):
@@ -50,8 +50,13 @@ def newton_solve(
     ksp_max_restarts: int = 40,
     max_backtracks: int = 8,
     monitor: bool = False,
+    ksp: str = "fgmres",
 ) -> NewtonResult:
-    """Damped Newton with FGMRES inner solves, fully jit-compatible."""
+    """Damped Newton with Krylov inner solves, fully jit-compatible.
+
+    ksp="fgmres" (default) or "tfqmr" — the latter is the reference's
+    actual SNES KSP (NavierStokesChannelFlow.py:198-202); TFQMR gets the
+    same total matvec budget as FGMRES (restart * max_restarts)."""
 
     f0 = residual(x0)
     n0 = jnp.linalg.norm(f0)
@@ -74,8 +79,12 @@ def newton_solve(
         vals = jac_values(x)
         A = make_operator(vals)
         M = make_pc(vals)
-        sol = fgmres(A, -F, M=M, rtol=ksp_rtol,
-                     restart=ksp_restart, max_restarts=ksp_max_restarts)
+        if ksp == "tfqmr":
+            sol = tfqmr(A, -F, M=M, rtol=ksp_rtol,
+                        max_it=ksp_restart * ksp_max_restarts)
+        else:
+            sol = fgmres(A, -F, M=M, rtol=ksp_rtol,
+                         restart=ksp_restart, max_restarts=ksp_max_restarts)
         dx = sol.x
 
         # backtracking line search on ||F|| — while_loop so the common
