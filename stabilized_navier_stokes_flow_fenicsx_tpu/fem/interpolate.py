@@ -261,7 +261,16 @@ def recover_extrusion(mesh: SimplexMesh):
     if (new.sum(axis=1) != 3).any():
         return None                       # prism footprint must be a tri
     tri_nodes = loc2[new].reshape(-1, 3)  # (n_prisms, 3) sorted node ids
-    tris, tri_of = np.unique(tri_nodes, axis=0, return_inverse=True)
+    # unique rows via scalar int64 keys: positional encoding preserves
+    # lexicographic order, and 1-D np.unique is ~10x faster than axis=0
+    # (which sorts a structured view) at the 484k-prism bench mesh.
+    n2d64 = np.int64(n2d)
+    key = (tri_nodes[:, 0].astype(np.int64) * n2d64
+           + tri_nodes[:, 1]) * n2d64 + tri_nodes[:, 2]
+    ukey, tri_of = np.unique(key, return_inverse=True)
+    tris = np.stack([ukey // (n2d64 * n2d64),
+                     (ukey // n2d64) % n2d64,
+                     ukey % n2d64], axis=1)
     return xs, n2d, tris.astype(np.int32), tri_of.astype(np.int32), \
         lay.astype(np.int32)
 
@@ -293,6 +302,26 @@ class LayeredDeviceLocator:
     cells: jnp.ndarray            # (nc, 4)
 
 
+@jax.jit
+def _cell_geometry_device(pts: jnp.ndarray, cells: jnp.ndarray):
+    """(x0, Tinv) per tet, batched on device.
+
+    Tinv = inv(E^T) with E the (3,3) edge matrix, via the closed-form
+    adjugate — three cross products and one dot, all elementwise ops
+    that XLA fuses into the gather.
+    """
+    cp = pts[cells]                                   # (nc, 4, 3)
+    x0 = cp[:, 0, :]
+    e = cp[:, 1:4, :] - cp[:, 0:1, :]                 # (nc, 3, 3) rows e_k
+    # M = E^T has columns e_k  ->  inv(M) rows = cross(e_j, e_k) / det
+    c0 = jnp.cross(e[:, 1], e[:, 2])
+    c1 = jnp.cross(e[:, 2], e[:, 0])
+    c2 = jnp.cross(e[:, 0], e[:, 1])
+    det = jnp.einsum("ni,ni->n", e[:, 0], c0)[:, None, None]
+    Tinv = jnp.stack([c0, c1, c2], axis=1) / det
+    return x0, Tinv
+
+
 def build_layered_locator(mesh: SimplexMesh, dtype=None
                           ) -> Optional[LayeredDeviceLocator]:
     """LayeredDeviceLocator from a (possibly re-read) extruded channel
@@ -310,18 +339,22 @@ def build_layered_locator(mesh: SimplexMesh, dtype=None
     loc2 = build_locator(mesh2d)
     base = np.full(nt * nl, -1, np.int32)
     base[tri_of * nl + lay] = np.arange(len(tri_of), dtype=np.int32) * 3
-    pts = np.asarray(mesh.points)
-    cp = pts[np.asarray(mesh.cells)]               # (nc, 4, 3)
-    E = cp[:, 1:4, :] - cp[:, 0:1, :]
-    Tinv = np.linalg.inv(np.transpose(E, (0, 2, 1)))
+    # Per-cell geometry (x0, Tinv) is computed ON DEVICE: the host path
+    # (pts[cells] gather + LAPACK-loop np.linalg.inv over (nc,3,3)) cost
+    # 8.8 s of the 12.5 s locator build at 1.45M cells; the device gather
+    # + closed-form adjugate inverse is milliseconds and uploads pts/cells
+    # (which must go up anyway) instead of the 10x larger cp/Tinv arrays.
+    pts_d = jnp.asarray(np.asarray(mesh.points), dtype)
+    cells_d = jnp.asarray(mesh.cells, jnp.int32)
+    x0, Tinv = _cell_geometry_device(pts_d, cells_d)
     return LayeredDeviceLocator(
         nl=nl, nt=nt,
         x_planes=jnp.asarray(xs, dtype),
         loc2d=device_locator(loc2, dtype),
         prism_base=jnp.asarray(base),
-        x0=jnp.asarray(cp[:, 0, :], dtype),
-        Tinv=jnp.asarray(Tinv, dtype),
-        cells=jnp.asarray(mesh.cells, jnp.int32),
+        x0=x0,
+        Tinv=Tinv,
+        cells=cells_d,
     )
 
 
