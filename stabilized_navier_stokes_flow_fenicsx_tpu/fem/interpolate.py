@@ -264,13 +264,18 @@ def recover_extrusion(mesh: SimplexMesh):
     # unique rows via scalar int64 keys: positional encoding preserves
     # lexicographic order, and 1-D np.unique is ~10x faster than axis=0
     # (which sorts a structured view) at the 484k-prism bench mesh.
-    n2d64 = np.int64(n2d)
-    key = (tri_nodes[:, 0].astype(np.int64) * n2d64
-           + tri_nodes[:, 1]) * n2d64 + tri_nodes[:, 2]
-    ukey, tri_of = np.unique(key, return_inverse=True)
-    tris = np.stack([ukey // (n2d64 * n2d64),
-                     (ukey // n2d64) % n2d64,
-                     ukey % n2d64], axis=1)
+    if n2d >= 1 << 21:
+        # key max ~ n2d^3 would overflow int64 and silently collide
+        # distinct triangles; fall back to the exact (slower) row-unique.
+        tris, tri_of = np.unique(tri_nodes, axis=0, return_inverse=True)
+    else:
+        n2d64 = np.int64(n2d)
+        key = (tri_nodes[:, 0].astype(np.int64) * n2d64
+               + tri_nodes[:, 1]) * n2d64 + tri_nodes[:, 2]
+        ukey, tri_of = np.unique(key, return_inverse=True)
+        tris = np.stack([ukey // (n2d64 * n2d64),
+                         (ukey // n2d64) % n2d64,
+                         ukey % n2d64], axis=1)
     return xs, n2d, tris.astype(np.int32), tri_of.astype(np.int32), \
         lay.astype(np.int32)
 
@@ -318,6 +323,12 @@ def _cell_geometry_device(pts: jnp.ndarray, cells: jnp.ndarray):
     c1 = jnp.cross(e[:, 2], e[:, 0])
     c2 = jnp.cross(e[:, 0], e[:, 1])
     det = jnp.einsum("ni,ni->n", e[:, 0], c0)[:, None, None]
+    # Degenerate tets (|det| ~ 0) get NaN Tinv rows: NaN barycentrics
+    # fail every ``>= -tol`` test, so points in such a cell locate as
+    # outside (cell = -1) instead of silently mislocating on inf values.
+    scale = jnp.max(jnp.abs(e), axis=(1, 2))[:, None, None] ** 3
+    bad = jnp.abs(det) <= 1e-14 * jnp.maximum(scale, 1e-300)
+    det = jnp.where(bad, jnp.nan, det)
     Tinv = jnp.stack([c0, c1, c2], axis=1) / det
     return x0, Tinv
 
@@ -344,9 +355,16 @@ def build_layered_locator(mesh: SimplexMesh, dtype=None
     # 8.8 s of the 12.5 s locator build at 1.45M cells; the device gather
     # + closed-form adjugate inverse is milliseconds and uploads pts/cells
     # (which must go up anyway) instead of the 10x larger cp/Tinv arrays.
-    pts_d = jnp.asarray(np.asarray(mesh.points), dtype)
+    # Geometry (adjugate/det) is computed at the highest precision the
+    # session supports and cast to dtype AFTER: under x64 the f64 path
+    # keeps sliver-cell barycentric tests within the 1e-6 tol; under
+    # default f32 (TPU) there is no wider dtype to use.
+    high = jnp.float64 if jax.config.jax_enable_x64 else dtype
+    pts_d = jnp.asarray(np.asarray(mesh.points), high)
     cells_d = jnp.asarray(mesh.cells, jnp.int32)
     x0, Tinv = _cell_geometry_device(pts_d, cells_d)
+    x0 = x0.astype(dtype)
+    Tinv = Tinv.astype(dtype)
     return LayeredDeviceLocator(
         nl=nl, nt=nt,
         x_planes=jnp.asarray(xs, dtype),
