@@ -22,10 +22,14 @@ if not os.path.exists(img):
 lc = float(sys.argv[1]) if len(sys.argv) > 1 else 0.04
 res_list = [float(x) for x in sys.argv[2].split(",")] if len(sys.argv) > 2 \
     else [40.0, 50.0, 60.0, 70.0]
+warm_mode = os.environ.get("SNS_SWEEP_WARM", "1") != "0"
 rows = []
+warm = None
 for Re in res_list:
     t0 = time.time()
-    sol, result, folder = run_trace_save(Re, img, 0.5, lc)
+    sol, result, folder = run_trace_save(Re, img, 0.5, lc, warm=warm)
+    if warm_mode:
+        warm = sol          # sweep fast path (apps/sweep.py semantics)
     total = time.time() - t0
     row = {
         "Re": Re, "ndofs": 4 * sol.mesh.n_nodes,

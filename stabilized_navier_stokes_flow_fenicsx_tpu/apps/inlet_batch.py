@@ -28,13 +28,16 @@ LIMITS = 1.0
 
 
 def run_trace_save(Re, img_fname, flowrate_ratio, channel_mesh_size,
-                   num_seeds=NUM_SEEDS, limits=LIMITS):
+                   num_seeds=NUM_SEEDS, limits=LIMITS, warm=None):
     """Solve -> save -> re-read from disk -> trace -> figures (the
     reference's exact flow, including the checkpoint round-trip:
-    streamtrace re-reads the saved velocity, streamtrace.py:590)."""
+    streamtrace re-reads the saved velocity, streamtrace.py:590).
+
+    warm: previous-Re ChannelSolution on the same (image, lc) — the
+    sweep fast path (flow/channel.py::_solve_ns_flow_warm)."""
     try:
         sol = solve_ns_flow(Re, img_fname, flowrate_ratio,
-                            channel_mesh_size, DEFAULT)
+                            channel_mesh_size, DEFAULT, warm=warm)
         folder, img_name = make_output_folder(
             Re, img_fname, channel_mesh_size)
         write_run_metadata(

@@ -22,9 +22,16 @@ LC = 0.04
 
 
 def sweep_re(img: str, res) -> None:
+    # Reynolds-sweep warm start: each Re after the first begins its fine
+    # Newton from the previous Re's fine solution (same image, same lc)
+    # and skips the coarse continuation entirely — identical converged
+    # result, a fraction of the wall-clock.  The reference re-runs the
+    # whole pipeline per Re (run_all_RE.sh:7-10).
+    warm = None
     for Re in res:
         print(f"==== Re={Re} {img} ====", flush=True)
-        run_trace_save(int(Re), img, RATIO, LC)
+        sol, _, _ = run_trace_save(int(Re), img, RATIO, LC, warm=warm)
+        warm = sol
 
 
 def sweep_images(img_dir: str, Re: int) -> None:

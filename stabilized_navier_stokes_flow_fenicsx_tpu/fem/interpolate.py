@@ -281,30 +281,55 @@ def recover_extrusion(mesh: SimplexMesh):
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["x_planes", "loc2d", "prism_base", "x0", "Tinv",
-                      "cells"],
-         meta_fields=["nl", "nt"])
+         data_fields=["x_planes", "lo2", "inv_h2", "tab2", "prism_base",
+                      "prism_geom", "cells"],
+         meta_fields=["nl", "nt", "shape2"])
 @dataclasses.dataclass
 class LayeredDeviceLocator:
     """Extrusion-aware point locator (the streamtrace hot path).
 
     The general grid locator pays K=max_per_bin candidate gathers per
-    query (measured K=54, ~2.6 KB/query at the 1.05M-dof bench mesh —
-    the streamtrace is bandwidth-bound on exactly this stream).  Here a
-    query is: x-layer by comparing against the (Lp,) plane array
-    (shared, stays in registers), a 2D triangle hash over the (nt)-tri
-    cross-section (K2d ~ 10 small 2D candidates), then a barycentric
-    test of the THREE sub-tets of that (tri, layer) prism — ~0.5 KB.
+    query (measured K=54, ~2.6 KB/query at the 1.05M-dof bench mesh).
+    This locator is PACKED for gather GRANULARITY, the real bound on
+    TPU (each dynamic row gather pays a fixed per-row cost regardless
+    of width, so 20 tiny gathers cost ~20x one wide one): a query is
+
+      * x-layer: compare against the (Lp,) plane array (broadcast,
+        no gather),
+      * ONE row gather of ``tab2[bin]`` — all K2d 2D candidates WITH
+        their inlined (x0, Tinv) triangle geometry in a single
+        (K2, 7) row — followed by vectorized barycentric tests,
+      * ONE scalar gather of ``prism_base[tri * nl + layer]``,
+      * ONE row gather of ``prism_geom[prism]`` — the (36,) packed
+        (x0, Tinv) of the prism's three sub-tets.
+
+    4 gather rows per query vs ~35 for the round-4 layout (measured
+    8.6x trace-step speedup at the 1.05M-dof bench mesh).
     """
 
     nl: int                       # layers = Lp - 1
     nt: int                       # 2D triangles
+    shape2: Tuple[int, int]       # 2D grid bins
     x_planes: jnp.ndarray         # (Lp,)
-    loc2d: DeviceLocator          # 2D locator over the cross-section
+    lo2: jnp.ndarray              # (2,) 2D grid origin
+    inv_h2: jnp.ndarray           # (2,)
+    tab2: jnp.ndarray             # (n_bins, K2, 7) f32: [tri, x0(2), Tinv(4)]
     prism_base: jnp.ndarray       # (nt * nl,) 3*prism or -1 (dead)
-    x0: jnp.ndarray               # (nc, 3) tet first vertex
-    Tinv: jnp.ndarray             # (nc, 3, 3)
+    prism_geom: jnp.ndarray       # (n_prisms, 36): 3 x [x0(3), Tinv(9)]
     cells: jnp.ndarray            # (nc, 4)
+
+
+@jax.jit
+def _prism_pack_device(pts: jnp.ndarray, cells: jnp.ndarray,
+                       out_dtype: jnp.ndarray):
+    """One fused program: per-tet (x0, Tinv) geometry packed into
+    per-prism (36,) rows.  A single persistent-cacheable dispatch —
+    the eager concat/reshape/cast chain cost ~1 relay round-trip EACH
+    on the tunneled backend."""
+    x0, Tinv = _cell_geometry_device(pts, cells)
+    return jnp.concatenate(
+        [x0, Tinv.reshape(-1, 9)],
+        axis=1).reshape(-1, 36).astype(out_dtype.dtype)
 
 
 @jax.jit
@@ -345,11 +370,27 @@ def build_layered_locator(mesh: SimplexMesh, dtype=None
         dtype = jnp.zeros(0).dtype
     nl = len(xs) - 1
     nt = len(tris)
+    if nt >= 1 << 24:
+        return None      # tri ids are carried exactly as f32 in tab2
     mesh2d = SimplexMesh("triangle", np.asarray(mesh.points)[:n2d, 1:3],
                          tris)
     loc2 = build_locator(mesh2d)
     base = np.full(nt * nl, -1, np.int32)
     base[tri_of * nl + lay] = np.arange(len(tri_of), dtype=np.int32) * 3
+    # Packed 2D candidate table: candidate ids AND triangle geometry in
+    # one (K2, 7) row — a query gathers one row instead of 1 + 2*K2.
+    n_bins = loc2.n_bins
+    K2 = loc2.max_per_bin
+    tab2 = np.zeros((n_bins, K2, 7), np.float64)
+    tab2[:, :, 0] = -1.0
+    counts = np.diff(loc2.bin_start)
+    rows = np.repeat(np.arange(n_bins), counts)
+    slot = np.arange(len(loc2.bin_cells)) - np.repeat(
+        loc2.bin_start[:-1], counts)
+    ids = loc2.bin_cells
+    tab2[rows, slot, 0] = ids
+    tab2[rows, slot, 1:3] = loc2.x0[ids]
+    tab2[rows, slot, 3:7] = loc2.Tinv[ids].reshape(-1, 4)
     # Per-cell geometry (x0, Tinv) is computed ON DEVICE: the host path
     # (pts[cells] gather + LAPACK-loop np.linalg.inv over (nc,3,3)) cost
     # 8.8 s of the 12.5 s locator build at 1.45M cells; the device gather
@@ -362,16 +403,18 @@ def build_layered_locator(mesh: SimplexMesh, dtype=None
     high = jnp.float64 if jax.config.jax_enable_x64 else dtype
     pts_d = jnp.asarray(np.asarray(mesh.points), high)
     cells_d = jnp.asarray(mesh.cells, jnp.int32)
-    x0, Tinv = _cell_geometry_device(pts_d, cells_d)
-    x0 = x0.astype(dtype)
-    Tinv = Tinv.astype(dtype)
+    # prism-packed tet geometry: cells are 3 consecutive tets per prism
+    # (mesh/extrude.py order, verified by recover_extrusion); ONE fused
+    # device program (eager ops pay a relay round-trip each on TPU)
+    prism_geom = _prism_pack_device(pts_d, cells_d, jnp.zeros(0, dtype))
     return LayeredDeviceLocator(
-        nl=nl, nt=nt,
+        nl=nl, nt=nt, shape2=loc2.shape,
         x_planes=jnp.asarray(xs, dtype),
-        loc2d=device_locator(loc2, dtype),
+        lo2=jnp.asarray(loc2.lo, dtype),
+        inv_h2=jnp.asarray(loc2.inv_h, dtype),
+        tab2=jnp.asarray(tab2, dtype),
         prism_base=jnp.asarray(base),
-        x0=x0,
-        Tinv=Tinv,
+        prism_geom=prism_geom,
         cells=cells_d,
     )
 
@@ -379,20 +422,39 @@ def build_layered_locator(mesh: SimplexMesh, dtype=None
 def locate_device_layered(dloc: LayeredDeviceLocator, q: jnp.ndarray,
                           tol: float = 1e-6):
     """jnp point location on the layered locator — same contract as
-    locate_device: (cell id or -1, barycentric (4,))."""
+    locate_device: (cell id or -1, barycentric (4,)).
+
+    Four gather rows total (tab2, prism_base, prism_geom — see the
+    class docstring); everything else is broadcast vector math.
+    """
     xp = dloc.x_planes
     l = jnp.clip(jnp.sum(q[0] >= xp) - 1, 0, dloc.nl - 1)
     in_x = (q[0] >= xp[0] - tol) & (q[0] <= xp[-1] + tol)
-    tri, _ = locate_device(dloc.loc2d, q[1:3], tol)
+    # 2D locate from the packed row
+    q2 = q[1:3]
+    sh = jnp.asarray(dloc.shape2)
+    idx = jnp.clip(((q2 - dloc.lo2) * dloc.inv_h2).astype(jnp.int32),
+                   0, sh - 1)
+    row = dloc.tab2[idx[0] * dloc.shape2[1] + idx[1]]     # (K2, 7)
+    rel = q2[None, :] - row[:, 1:3]
+    l1 = row[:, 3] * rel[:, 0] + row[:, 4] * rel[:, 1]
+    l2 = row[:, 5] * rel[:, 0] + row[:, 6] * rel[:, 1]
+    bar2 = jnp.stack([1.0 - l1 - l2, l1, l2], axis=1)     # (K2, 3)
+    ok2 = (row[:, 0] >= 0) & (bar2.min(axis=1) >= -tol)
+    tri = jnp.where(ok2.any(), row[jnp.argmax(ok2), 0].astype(jnp.int32),
+                    -1)
     base = dloc.prism_base[jnp.maximum(tri, 0) * dloc.nl + l]
     base = jnp.where((tri >= 0) & in_x, base, -1)
-    cand = jnp.maximum(base, 0) + jnp.arange(3, dtype=jnp.int32)  # (3,)
-    rel = q[None, :] - dloc.x0[cand]                 # (3, 3)
-    lam = jnp.einsum("kij,kj->ki", dloc.Tinv[cand], rel)
+    geom = dloc.prism_geom[jnp.maximum(base, 0) // 3]     # (36,)
+    g3 = geom.reshape(3, 12)
+    rel3 = q[None, :] - g3[:, :3]                         # (3, 3)
+    Ti = g3[:, 3:].reshape(3, 3, 3)
+    lam = jnp.einsum("kij,kj->ki", Ti, rel3)
     lam0 = 1.0 - lam.sum(axis=1, keepdims=True)
-    bar = jnp.concatenate([lam0, lam], axis=1)       # (3, 4)
+    bar = jnp.concatenate([lam0, lam], axis=1)            # (3, 4)
     valid = (base >= 0) & (bar.min(axis=1) >= -tol)
     first = jnp.argmax(valid)
+    cand = jnp.maximum(base, 0) + jnp.arange(3, dtype=jnp.int32)
     cell = jnp.where(valid.any(), cand[first], -1)
     return cell, bar[first]
 

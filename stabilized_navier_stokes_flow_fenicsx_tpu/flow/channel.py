@@ -204,6 +204,7 @@ def solve_ns_flow(
     coarse_lc: float = 0.1,
     layered: bool = True,
     dtype=None,
+    warm: Optional["ChannelSolution"] = None,
 ) -> ChannelSolution:
     """Full continuation solve (reference solve_NS_flow, :468-549).
 
@@ -213,6 +214,15 @@ def solve_ns_flow(
     layered=True (default) uses the plane-structured operator
     (assemble/layered.py) — ~30x faster SpMV on TPU for extruded
     channel meshes; layered=False keeps the generic block-CSR path.
+
+    warm: a ChannelSolution of a DIFFERENT Re on the SAME (image, lc)
+    — a Reynolds-sweep fast path the per-run reference contract lacks
+    (run_all_RE.sh re-runs the whole pipeline per Re): the coarse
+    mesh/Stokes/coarse-NS/interpolation phases are skipped entirely and
+    the fine Newton starts from the previous Re's fine solution.  The
+    converged result is identical (same Newton tolerances on the same
+    fine operator); only the initial guess changes.  Ignored when the
+    mesh shape does not match (e.g. different lc).
     """
     scfg = cfg.solver
     timings = {}
@@ -220,6 +230,14 @@ def solve_ns_flow(
     t0 = time.time()
     inlet1, inlet2 = solve_inlet_profiles(img_fname, flowrate_ratio, cfg)
     timings["inlet_profiles"] = time.time() - t0
+
+    if warm is not None and layered:
+        sol = _solve_ns_flow_warm(
+            Re, img_fname, inlet1, inlet2, channel_mesh_size, cfg,
+            dtype, warm, timings)
+        if sol is not None:
+            return sol
+        # shape mismatch: fall through to the full continuation solve
 
     # ---- coarse mesh: Stokes + NS --------------------------------------
     t0 = time.time()
@@ -317,6 +335,16 @@ def solve_ns_flow(
         w0_f = setup_f[1] * w0_f + (1.0 - setup_f[1]) * setup_f[2]
         timings["interpolate"] = time.time() - t0
 
+    return _fine_newton_refine(Re, cfg, mesh_f, W_f, setup_f, ns_f,
+                               w0_f, timings, layered)
+
+
+def _fine_newton_refine(Re, cfg, mesh_f, W_f, setup_f, ns_f, w0_f,
+                        timings, layered):
+    """Fine-mesh Newton + optional double-float refinement + result
+    packaging — the shared tail of the continuation solve and the
+    Reynolds-sweep warm path."""
+    scfg = cfg.solver
     t0 = time.time()
     if layered:
         lp_f, mask_f, g_f, g64_f, mg_f = setup_f
@@ -396,6 +424,35 @@ def solve_ns_flow(
         mesh_f, W_f, w, np.asarray(u), np.asarray(p), Re,
         int(nres_f.iters), float(nres_f.resnorm), bool(nres_f.converged),
         timings)
+
+
+def _solve_ns_flow_warm(Re, img_fname, inlet1, inlet2, lc, cfg, dtype,
+                        warm, timings):
+    """Reynolds-sweep warm path: fine mesh + setup only, Newton from the
+    previous Re's fine solution.  Returns None on shape mismatch (the
+    caller falls back to the full continuation solve)."""
+    scfg = cfg.solver
+    t0 = time.time()
+    mesh_f, _, _ = generate_channel_mesh(img_fname, lc, cfg, layered=True)
+    timings["fine_mesh"] = time.time() - t0
+    if (mesh_f.points.shape != warm.mesh.points.shape
+            or mesh_f.cells.shape != warm.mesh.cells.shape):
+        return None
+    mg_lv = scfg.mg_levels if (scfg.pc.startswith("mg")
+                               or scfg.pc_newton.startswith("mg")) else 0
+    t0 = time.time()
+    W_f, lp_f, mask_f, g_f, g64_f, *mg_f = _setup_layered(
+        mesh_f, inlet1, inlet2, dtype, mg_levels=mg_lv)
+    setup_f = (lp_f, mask_f, g_f, g64_f, mg_f[0] if mg_f else None)
+    timings["fine_setup"] = time.time() - t0
+    w0_f = jnp.asarray(np.asarray(warm.w), mask_f.dtype)
+    # re-impose the (Re-independent) BC values exactly
+    w0_f = mask_f * w0_f + (1.0 - mask_f) * g_f
+    ns_f = make_ns_sups_kernel(
+        "tetrahedron", nu=1.0 / Re, C_I=cfg.stab.C_I,
+        transposed_stab=cfg.stab.transposed_advection_in_stab)
+    return _fine_newton_refine(Re, cfg, mesh_f, W_f, setup_f, ns_f,
+                               w0_f, timings, layered=True)
 
 
 def solve_ns_flow_single_mesh(

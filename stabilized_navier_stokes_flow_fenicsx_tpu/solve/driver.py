@@ -448,9 +448,16 @@ def solve_newton_layered_stepped(
     w, rn, hist, stalled = w0, r0, [], False
     its = 0
     while its < max_it and rn > tol:
+        # the convergence check lives in THIS host loop, so the device
+        # program always takes rtol=atol=0.0: tol is a jit-STATIC of
+        # solve_newton_layered, and threading the per-solve tol through
+        # it compiled a fresh 1-step program for every Re rung of every
+        # image (measured: the 42 s "coarse NS" phase of a warm
+        # production Re was mostly these recompiles).  With 0.0 every
+        # rung/Re/image shares one executable per (mesh shape, pc).
         out = solve_newton_layered(
             kernel, n2d, n_planes, bs, arrays, mask, g, w, E,
-            0.0, tol, 1, ksp_rtol, ksp_restart, ksp_max_restarts, pc, mg,
+            0.0, 0.0, 1, ksp_rtol, ksp_restart, ksp_max_restarts, pc, mg,
             ksp)
         new_rn = float(out.resnorm)
         hist.append(np.asarray(out.history)[0])

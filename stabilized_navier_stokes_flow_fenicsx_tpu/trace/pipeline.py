@@ -41,9 +41,10 @@ from .streamtrace import TraceConfigDevice, trace_particles
 SEED_CHUNK = 4096
 
 
-def _trace_chunked(cfg, dloc, u_dev, seeds, reverse):
+def _trace_chunked(cfg, dloc, u_dev, seeds, reverse, stats=None):
     return np.asarray(trace_particles(
-        cfg, dloc, u_dev, jnp.asarray(seeds), reverse, chunk=SEED_CHUNK))
+        cfg, dloc, u_dev, jnp.asarray(seeds), reverse, chunk=SEED_CHUNK,
+        stats=stats))
 
 
 @dataclasses.dataclass
@@ -53,6 +54,10 @@ class StreamtraceResult:
     reverse_endpoints: np.ndarray     # (ns, 3)
     outlet_points: np.ndarray         # (m, 2) predicted outlet profile (y, z)
     inner_contour: np.ndarray         # (k, 2) inlet inner contour (y, z)
+    stats: dict = dataclasses.field(default_factory=dict)
+    # grounding numbers (bench trace roofline): seeds, dispatches,
+    # executed lane_steps (masked lanes included), accepted seed_steps,
+    # per-phase wall seconds
 
 
 def update_contour(img_fname: str, cfg: Config = DEFAULT) -> np.ndarray:
@@ -80,12 +85,17 @@ def for_and_rev_streamtrace(
     seed_points: (n, 2) (y, z) forward seeds (inner inlet mesh vertices —
     the reference re-solves the inlet profiles to get them, :190-196).
     """
+    import time as _time
+
     tc = cfg.trace
     contour3 = update_contour(img_fname, cfg)
     inner_contour = contour3[:, 1:3]
 
+    stats: dict = {}
+    t0 = _time.time()
     dloc = build_trace_locator(mesh)
     u_dev = jnp.asarray(u_nodal)
+    stats["locator_build_s"] = round(_time.time() - t0, 2)
 
     fwd_cfg = TraceConfigDevice(
         t_max=tc.t_span, max_step=tc.max_step, speed_eps=tc.speed_eps,
@@ -93,7 +103,9 @@ def for_and_rev_streamtrace(
         rtol=tc.rtol, atol=tc.atol, max_steps=tc.max_steps)
     seeds_fwd = np.hstack(
         [np.zeros((len(seed_points), 1)), seed_points])
-    fwd_end = _trace_chunked(fwd_cfg, dloc, u_dev, seeds_fwd, False)
+    t0 = _time.time()
+    fwd_end = _trace_chunked(fwd_cfg, dloc, u_dev, seeds_fwd, False, stats)
+    stats["fwd_s"] = round(_time.time() - t0, 2)
     kept = fwd_end[fwd_end[:, 0] > tc.x_forward_keep]
 
     # expansion + reverse seed grid
@@ -110,7 +122,9 @@ def for_and_rev_streamtrace(
         t_max=tc.t_span, max_step=tc.max_step, speed_eps=tc.speed_eps,
         x_stop=tc.x_reverse_stop, stop_direction=-1,
         rtol=tc.rtol, atol=tc.atol, max_steps=tc.max_steps)
-    rev_end = _trace_chunked(rev_cfg, dloc, u_dev, seeds_rev, True)
+    t0 = _time.time()
+    rev_end = _trace_chunked(rev_cfg, dloc, u_dev, seeds_rev, True, stats)
+    stats["rev_s"] = round(_time.time() - t0, 2)
     # reference: endpoints not back past x=0.5 are marked (10,10,10)
     rev_end = np.where(
         (rev_end[:, 0] < tc.x_forward_keep)[:, None], rev_end, 10.0)
@@ -124,4 +138,5 @@ def for_and_rev_streamtrace(
         reverse_endpoints=rev_end,
         outlet_points=outlet,
         inner_contour=inner_contour,
+        stats=stats,
     )

@@ -198,3 +198,81 @@ def test_slab_partition_divides_work():
     assert cd.min() >= 0 and cd.max() <= meta["ndofs_ext"]
     ep = np.asarray(slab.ell_pos)
     assert ep.min() >= 0 and ep.max() <= meta["nseg_ext"]
+
+
+def _channel_layered(lc=0.2, Re=10.0):
+    """Image-derived channel problem (the production geometry) for the
+    channel-shape sharding checks — mirrors __graft_entry__'s dryrun
+    setup (splitter geometry, unused-node identity rows, inlet-profile
+    BCs)."""
+    import os
+
+    from stabilized_navier_stokes_flow_fenicsx_tpu.config import DEFAULT
+    from stabilized_navier_stokes_flow_fenicsx_tpu.flow.channel import (
+        channel_bcs, generate_channel_mesh)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.flow.inlet import (
+        solve_inlet_profiles)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.utils.testimg import (
+        make_annulus_image)
+
+    img = "/tmp/shardtest_circle.png"
+    if not os.path.exists(img):
+        make_annulus_image(img, "circle")
+    inlet1, inlet2 = solve_inlet_profiles(img, 0.5, DEFAULT)
+    mesh, _, _ = generate_channel_mesh(img, lc, DEFAULT, layered=True)
+    W = make_mixed_space(mesh, 1, 1)
+    n2d, Lp, used = mesh.layered
+    bc = channel_bcs(mesh, W, inlet1, inlet2)
+    unused_nodes = np.nonzero(~used)[0].astype(np.int64)
+    bs = W.block_size
+    unused_dofs = (unused_nodes[:, None] * bs
+                   + np.arange(bs)[None, :]).ravel()
+    bc = combine_bcs(
+        [DirichletBC(unused_dofs, np.zeros(len(unused_dofs))), bc])
+    mask = bc_mask(W.ndofs, bc).astype(np.float64)
+    g = bc_vector(W.ndofs, bc)
+    kern = make_ns_sups_kernel("tetrahedron", nu=1.0 / Re)
+    return mesh, W, mask, g, kern
+
+
+def test_sharded_assembly_flop_division_sweep_channel():
+    """VERDICT round-4 item 8: per-device FLOPs of the slab-sharded
+    Jacobian assembly at the CHANNEL shape divide by the device count
+    across D in {2, 4, 8} (1/D plus the one-plane halo + plane-padding
+    overhead, which shrinks with problem size)."""
+    from stabilized_navier_stokes_flow_fenicsx_tpu.assemble.layered import (
+        matrix_values_layered)
+    from stabilized_navier_stokes_flow_fenicsx_tpu.parallel.layered_shard import (
+        make_slab_assembly, shard_layered_inputs)
+
+    mesh, W, mask, g, kern = _channel_layered()
+    n2d, Lp, _ = mesh.layered
+
+    def flops_of(compiled):
+        c = compiled.cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c["flops"])
+
+    lp1 = build_layered(W, n2d, Lp)
+    f1 = jax.jit(lambda w: matrix_values_layered(
+        kern, lp1.E, lp1.n_planes, lp1.bs, lp1.arrays, w))
+    fl1 = flops_of(f1.lower(jnp.zeros(lp1.ndofs)).compile())
+
+    ratios = {}
+    for D in (2, 4, 8):
+        dmesh = Mesh(np.array(jax.devices()[:D]), ("planes",))
+        Lp_pad = padded_planes(Lp, D)
+        lpD = build_layered(W, n2d, Lp_pad)
+        mask_p, g_p = pad_mask_g(mask, g, n2d * Lp_pad * lpD.bs)
+        arrays, slab, meta, (_m, _g, w0_s) = shard_layered_inputs(
+            lpD, mask_p, g_p, g_p, dmesh, "planes")
+        _, values_fn = make_slab_assembly(
+            kern, n2d, meta["Lq"], lpD.bs, lpD.E, dmesh, "planes")
+        fD = jax.jit(values_fn)
+        ratios[D] = flops_of(fD.lower(slab, w0_s).compile()) / fl1
+    # each device owns Lq ~ Lp/D planes + a one-plane halo; padding can
+    # add one more plane interval of work
+    for D, r in ratios.items():
+        assert r < 1.0 / D + 2.5 / (Lp - 1), (D, r, ratios)
+    assert ratios[8] < ratios[4] < ratios[2], ratios
