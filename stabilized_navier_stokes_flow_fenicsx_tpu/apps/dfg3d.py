@@ -107,6 +107,135 @@ class DFG3DResult:
     cl_surface: float = float("nan")
 
 
+def solve_dfg3d_fine(scale: float = 0.5,
+                     cyl_factor: float = 1.0,
+                     near_growth: float = 0.15,
+                     ksp_rtol: float = 1e-5,
+                     pc: str = "mg_cheby6_bf16",
+                     mg_levels: int = 3) -> DFG3DResult:
+    """DFG 3D-1Z at ~10^6-node meshes on the layered TPU path
+    (VERDICT round-4 item 5: validate the 3D lift at a mesh where the
+    0.15%-of-drag signal clears the discretization noise floor).
+
+    The pillar mesh is a z-extrusion with plane-major node ids
+    (mesh/extrude.py::extrude_tri_mesh), which is exactly the contract
+    of the layered operator (assemble/layered.py:99) — the extrusion
+    axis never enters the pattern build, so the whole channel fast
+    path (plane-structured assembly, mg-Chebyshev V-cycle, stepped
+    Newton, double-float refinement) applies verbatim.  The host-LU
+    path (solve_dfg3d) tops out near ~30k nodes on one core; this
+    routine solves 4M+ dofs in minutes on one chip.
+
+    Forces use the same consistent reaction functional, evaluated from
+    the RAW layered residual (no BC substitution), plus the reference's
+    traction surface integral for parity.
+    """
+    import time as _time
+
+    from ..assemble.layered import build_layered, residual_layered
+    from ..forms.navier_stokes_df import make_ns_sups_kernel_df
+    from ..solve.driver import (refine_newton_layered_stepped,
+                                solve_newton_layered_stepped)
+    from ..solve.mg import build_mg_hierarchy
+
+    t_all = _time.time()
+    mesh = dfg3d_mesh(scale, cyl_factor=cyl_factor,
+                      near_growth=near_growth)
+    Wsp = make_mixed_space(mesh, 1, 1)
+    np2 = len(mesh.points) // len(np.unique(mesh.points[:, 2]))
+    Lp = len(mesh.points) // np2
+    lp = build_layered(Wsp, np2, Lp)
+
+    inlet = mesh.nodes_with_marker(2)
+    walls = mesh.nodes_with_marker(4)
+    obst = mesh.nodes_with_marker(5)
+
+    def vdofs(nodes):
+        return np.stack(
+            [Wsp.velocity_dof(nodes, c) for c in range(3)], -1).ravel()
+
+    iv = np.zeros((len(inlet), 3))
+    y, z = mesh.points[inlet, 1], mesh.points[inlet, 2]
+    iv[:, 0] = (4 * y * (W - y) / W**2) * (4 * z * (W - z) / W**2) * 0.45
+    bc = combine_bcs([
+        DirichletBC(vdofs(inlet), iv.ravel()),
+        DirichletBC(vdofs(walls), np.zeros(3 * len(walls))),
+        DirichletBC(vdofs(obst), np.zeros(3 * len(obst))),
+    ])
+    dtype = jnp.zeros(0).dtype
+    mask = jnp.asarray(bc_mask(Wsp.ndofs, bc), dtype)
+    g = jnp.asarray(bc_vector(Wsp.ndofs, bc), dtype)
+    hier = build_mg_hierarchy(
+        np.asarray(lp.pattern_like.row_ids),
+        np.asarray(lp.pattern_like.indices),
+        lp.n2d, lp.n_planes, np.asarray(mask), lp.bs,
+        n_levels=mg_levels)
+    print(f"dfg3d_fine: {len(mesh.points)} nodes, {mesh.n_cells} tets, "
+          f"{Wsp.ndofs} dofs, n2d={np2} Lp={Lp} "
+          f"(setup {_time.time() - t_all:.1f}s)", flush=True)
+
+    # nu continuation to the target viscosity (textbook SUPS residual,
+    # see solve_dfg3d's transposed_stab note)
+    x = g
+    for nu_step in (1e-1, 1e-2, 3e-3, NU):
+        ns_k = make_ns_sups_kernel("tetrahedron", nu=nu_step,
+                                   transposed_stab=False)
+        t0 = _time.time()
+        nres = solve_newton_layered_stepped(
+            ns_k, lp.n2d, lp.n_planes, lp.bs, lp.arrays, mask, g,
+            x, lp.E, 1e-8, 1e-9, 30, ksp_rtol, 50, 40, pc, hier)
+        x = nres.x
+        print(f"dfg3d_fine: nu={nu_step} its={int(nres.iters)} "
+              f"|F|={float(nres.resnorm):.3e} "
+              f"({_time.time() - t0:.1f}s)", flush=True)
+
+    # double-float refinement at the target nu (f32 chip, f64 result)
+    kdf = make_ns_sups_kernel_df("tetrahedron", nu=NU,
+                                 transposed_stab=False)
+    from ..assemble.df_assembly import DFResidual
+    from ..forms.navier_stokes_df import split64
+
+    dfr = DFResidual(Wsp, kdf)
+    g_df = split64(np.asarray(g, np.float64))
+    r_raw = residual_layered(ns_k, lp.n2d, lp.n_planes, lp.bs,
+                             lp.arrays, x)
+    n0 = jnp.linalg.norm(mask * r_raw + (1.0 - mask) * (x - g))
+    t0 = _time.time()
+    rres = refine_newton_layered_stepped(
+        ns_k, kdf, lp.n2d, lp.n_planes, lp.bs, lp.E, lp.arrays,
+        dfr.dfa, mask, g_df.hi, g_df.lo, x, n0,
+        1e-8, 1e-10, 8, 1e-2, 50, 8, pc, hier)
+    print(f"dfg3d_fine: refine its={int(rres.iters)} "
+          f"df|F|={float(rres.resnorm):.3e} "
+          f"({_time.time() - t0:.1f}s)", flush=True)
+    w64 = np.asarray(rres.x_hi, np.float64) + np.asarray(rres.x_lo)
+
+    # consistent reaction force from the RAW residual (f64 via the
+    # df evaluation path would be ideal; the f32 residual at the f64
+    # iterate is accurate to ~1e-6 of the force scale, well below the
+    # lift bar at these meshes)
+    w_dev = jnp.asarray(w64, dtype)
+    r = np.asarray(residual_layered(
+        ns_k, lp.n2d, lp.n_planes, lp.bs, lp.arrays, w_dev))
+    F = np.array([
+        -r[np.asarray(Wsp.velocity_dof(obst, c))].sum()
+        for c in range(3)])
+    cd = 2 * F[0] / (UC**2 * LC_REF)
+    cl = 2 * F[1] / (UC**2 * LC_REF)
+    u, p = Wsp.split(w64)
+    u, p = np.asarray(u), np.asarray(p)
+    Fs = -traction_force_3d(mesh, u, p, 5, NU)
+    cd_s = 2 * Fs[0] / (UC**2 * LC_REF)
+    cl_s = 2 * Fs[1] / (UC**2 * LC_REF)
+    print(f"dfg3d_fine: Cd={cd:.5f} Cl={cl:.6f} "
+          f"(surface Cd={cd_s:.5f} Cl={cl_s:.6f}) "
+          f"total {_time.time() - t_all:.1f}s", flush=True)
+    return DFG3DResult(mesh, u, p, float(cd), float(cl),
+                       int(nres.iters),
+                       bool(rres.converged) or bool(nres.converged),
+                       float(cd_s), float(cl_s))
+
+
 def solve_dfg3d(scale: float = 1.0,
                 solver: Optional[SolverConfig] = None,
                 **mesh_kwargs) -> DFG3DResult:

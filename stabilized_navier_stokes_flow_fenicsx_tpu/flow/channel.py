@@ -22,6 +22,7 @@ interpolation are host-side numpy setup.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Optional, Tuple
 
@@ -269,6 +270,47 @@ def solve_ns_flow(
 
     mg_lv = scfg.mg_levels if (scfg.pc.startswith("mg")
                                or scfg.pc_newton.startswith("mg")) else 0
+
+    # ---- fine mesh EARLY + background AOT of the fine Newton program
+    # (VERDICT round-4 item 10): the first production Re of a session
+    # pays the big fine-mesh XLA compiles while the host would
+    # otherwise sit in the coarse phases.  Host meshing/pattern build
+    # happens up front (it needs no device); the lower+compile then
+    # runs on a daemon thread concurrently with the coarse solve —
+    # when it finishes first, the fine Newton's own jit call is served
+    # from the in-process/persistent executable caches.
+    fine_early = None
+    prewarm = None
+    distinct_fine = abs(channel_mesh_size - coarse_lc) >= 1e-12
+    if layered and distinct_fine and os.environ.get(
+            "SNS_OVERLAP_COMPILE", "1") != "0":
+        t0 = time.time()
+        mesh_f0, _, _ = generate_channel_mesh(
+            img_fname, channel_mesh_size, cfg, layered=layered)
+        timings["fine_mesh"] = time.time() - t0
+        t0 = time.time()
+        W_f0, lp_f0, mask_f0, g_f0, g64_f0, *mg_f0 = _setup_layered(
+            mesh_f0, inlet1, inlet2, dtype, mg_levels=mg_lv)
+        mg_f0 = mg_f0[0] if mg_f0 else None
+        timings["fine_setup"] = time.time() - t0
+        fine_early = (mesh_f0, W_f0,
+                      (lp_f0, mask_f0, g_f0, g64_f0, mg_f0))
+
+        import threading
+
+        def _prewarm():
+            try:
+                solve_newton_layered.lower(
+                    ns_f, lp_f0.n2d, lp_f0.n_planes, lp_f0.bs,
+                    lp_f0.arrays, mask_f0, g_f0, g_f0, lp_f0.E,
+                    0.0, 0.0, 1, scfg.ksp_rtol, scfg.ksp_restart, 40,
+                    scfg.pc_newton, mg_f0, scfg.ksp_type).compile()
+            except Exception:       # overlap is opportunistic
+                pass
+
+        prewarm = threading.Thread(target=_prewarm, daemon=True)
+        prewarm.start()
+
     if layered:
         W_c, lp_c, mask_c, g_c, g64_c, *mg_c = _setup_layered(
             mesh_c, inlet1, inlet2, dtype, mg_levels=mg_lv)
@@ -309,10 +351,22 @@ def solve_ns_flow(
     w_c = np.asarray(nres_c.x)
 
     # ---- fine mesh: NS from interpolated coarse ------------------------
-    if abs(channel_mesh_size - coarse_lc) < 1e-12:
+    if not distinct_fine:
         mesh_f, W_f, w0_f = mesh_c, W_c, nres_c.x
         setup_f = (lp_c, mask_c, g_c, g64_c, mg_c) if layered else \
             (asm_c, mask_c, g_c, g64_c)
+    elif fine_early is not None:
+        mesh_f, W_f, setup_f = fine_early
+        if prewarm is not None:
+            t0 = time.time()
+            prewarm.join(timeout=600.0)
+            timings["prewarm_join"] = time.time() - t0
+        t0 = time.time()
+        w0_f = jnp.asarray(interpolate_solution(mesh_c, W_c, w_c,
+                                                mesh_f, W_f),
+                           setup_f[1].dtype)
+        w0_f = setup_f[1] * w0_f + (1.0 - setup_f[1]) * setup_f[2]
+        timings["interpolate"] = time.time() - t0
     else:
         t0 = time.time()
         mesh_f, inner_loop, _ = generate_channel_mesh(
