@@ -401,19 +401,33 @@ def build_layered_locator(mesh: SimplexMesh, dtype=None
     # keeps sliver-cell barycentric tests within the 1e-6 tol; under
     # default f32 (TPU) there is no wider dtype to use.
     high = jnp.float64 if jax.config.jax_enable_x64 else dtype
-    pts_d = jnp.asarray(np.asarray(mesh.points), high)
-    cells_d = jnp.asarray(mesh.cells, jnp.int32)
+    np_dt = np.dtype(dtype)
+    # ONE batched host->device transfer for every locator array (dtype
+    # casts done in numpy first): each separate jnp.asarray call is a
+    # relay round trip on the tunneled TPU — measured ~0.25-1.5 s EACH
+    # under congestion, which made the locator build 13-19 s of the
+    # bench trace leg with only ~2 s of real work in it.
+    pts_d, cells_d, xs_d, lo2_d, ih2_d, tab2_d, base_d = jax.device_put((
+        np.asarray(mesh.points, np.float64 if high == jnp.float64
+                   else np_dt),
+        np.asarray(mesh.cells, np.int32),
+        np.asarray(xs, np_dt),
+        np.asarray(loc2.lo, np_dt),
+        np.asarray(loc2.inv_h, np_dt),
+        np.asarray(tab2, np_dt),
+        base,
+    ))
     # prism-packed tet geometry: cells are 3 consecutive tets per prism
     # (mesh/extrude.py order, verified by recover_extrusion); ONE fused
     # device program (eager ops pay a relay round-trip each on TPU)
     prism_geom = _prism_pack_device(pts_d, cells_d, jnp.zeros(0, dtype))
     return LayeredDeviceLocator(
         nl=nl, nt=nt, shape2=loc2.shape,
-        x_planes=jnp.asarray(xs, dtype),
-        lo2=jnp.asarray(loc2.lo, dtype),
-        inv_h2=jnp.asarray(loc2.inv_h, dtype),
-        tab2=jnp.asarray(tab2, dtype),
-        prism_base=jnp.asarray(base),
+        x_planes=xs_d,
+        lo2=lo2_d,
+        inv_h2=ih2_d,
+        tab2=tab2_d,
+        prism_base=base_d,
         prism_geom=prism_geom,
         cells=cells_d,
     )

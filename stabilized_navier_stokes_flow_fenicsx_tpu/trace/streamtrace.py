@@ -107,20 +107,16 @@ class TraceState(NamedTuple):
     steps: jnp.ndarray    # (n,) int32
 
 
-@jax.jit
-def _init_v(cfg: TraceConfigDevice, dloc, u_cell, x):
-    sign = jnp.asarray(cfg.sign, u_cell.dtype)
-    return jax.vmap(lambda p: _velocity(dloc, u_cell, p, sign))(x)
-
-
 def init_trace_state(seeds: jnp.ndarray, cfg: TraceConfigDevice,
                      dloc, u_cell) -> TraceState:
+    """Fresh state; the FSAL carry ``v`` is a placeholder — trace_segment
+    computes f(x) on device for lanes with steps == 0 (see seed_v)."""
     dtype = u_cell.dtype
     n = seeds.shape[0]
     x = seeds.astype(dtype)
     return TraceState(
         x=x,
-        v=_init_v(cfg, dloc, u_cell, x),
+        v=jnp.zeros((n, 3), dtype),
         t=jnp.zeros(n, dtype),
         dt=jnp.full(n, cfg.max_step, dtype),
         done=jnp.zeros(n, bool),
@@ -141,6 +137,19 @@ def trace_segment(
     program can outlive the device watchdog).  cfg is a traced pytree:
     forward/reverse (cfg.sign) and every event-plane/tolerance variant
     share one executable per shape."""
+    return _segment_core(cfg, dloc, u_cell, state, seg_steps)
+
+
+def _segment_core(
+    cfg: TraceConfigDevice,
+    dloc,
+    u_cell: jnp.ndarray,
+    state: TraceState,
+    seg_steps,
+) -> TraceState:
+    """trace_segment's body as a plain traced function (seg_steps may be
+    a Python int or a traced scalar) — shared by the standalone jitted
+    wrapper above and the device-resident ``_run_chunk`` program."""
     dtype = u_cell.dtype
     sign = jnp.asarray(cfg.sign, dtype)
     A = jnp.asarray(_A, dtype)
@@ -149,6 +158,16 @@ def trace_segment(
 
     def f(x):
         return _velocity(dloc, u_cell, x, sign)
+
+    # FSAL seed init folded into the segment (round 5): a lane with
+    # steps == 0 has never evaluated its carry, so compute f(x) for it
+    # here — ONE masked velocity eval per lane-segment (~0.1% of the
+    # ~128-step x 6-eval segment budget) instead of a separate _init_v
+    # program whose per-chunk dispatches cost a relay round trip each
+    # (measured ~0.25-1.5 s/dispatch x 11 dispatches at the 200x200
+    # bench grid on a congested tunnel).
+    def seed_v(x, v, steps):
+        return jnp.where(steps == 0, f(x), v)
 
     def rk_step(x, dt, v0):
         # FSAL: stage 0 is the carried f(x) — 6 evals, not 7
@@ -223,14 +242,102 @@ def trace_segment(
                     done | (accept & finished) | speed_stop,
                     steps + 1, k + 1)
 
-        s = (st_x, st_v, st_t, st_dt, st_done, st_steps,
-             jnp.array(0, jnp.int32))
+        s = (st_x, seed_v(st_x, st_v, st_steps), st_t, st_dt, st_done,
+             st_steps, jnp.array(0, jnp.int32))
         x, v, t, dt, done, steps, _ = jax.lax.while_loop(cond, body, s)
         return x, v, t, dt, done, steps
 
     x, v, t, dt, done, steps = jax.vmap(one_seed)(
         state.x, state.v, state.t, state.dt, state.done, state.steps)
     return TraceState(x, v, t, dt, done, steps)
+
+
+class FullTraceState(NamedTuple):
+    """Device-resident full-grid state for the compacted chunked tracer.
+
+    Everything stays in HBM between dispatches: the round-4 host repack
+    moved ~12 small arrays per chunk-dispatch through the tunnel relay
+    (6 uploads + 6 downloads), and each transfer is a full RPC round
+    trip — measured 0.03-0.5 s EACH depending on relay congestion, up
+    to ~50 s of pure transfer wall at the 200x200 bench grid.  Here the
+    host only ever reads ONE scalar per round (the not-done count) and
+    the endpoints once at the end.
+    """
+
+    x: jnp.ndarray         # (N, 3)
+    v: jnp.ndarray         # (N, 3) FSAL carry
+    t: jnp.ndarray         # (N,)
+    dt: jnp.ndarray        # (N,)
+    done: jnp.ndarray      # (N,) bool
+    steps: jnp.ndarray     # (N,) int32
+    seed_id: jnp.ndarray   # (N,) int32 original seed index (or N = pad)
+    lane_steps: jnp.ndarray  # () int64-ish f64-safe counter (int32 ok)
+
+
+@jax.jit
+def _init_full_state(x0: jnp.ndarray, max_step, n) -> FullTraceState:
+    """Whole-grid state built ON DEVICE in one program from the single
+    uploaded (N, 3) seed array — eager per-field creation cost ~7 relay
+    RPCs plus one first-in-process executable load EACH (measured up to
+    22 s at the bench grid under congestion)."""
+    N = x0.shape[0]
+    dtype = x0.dtype
+    ar = jnp.arange(N, dtype=jnp.int32)
+    return FullTraceState(
+        x=x0,
+        v=jnp.zeros((N, 3), dtype),
+        t=jnp.zeros(N, dtype),
+        dt=jnp.full(N, max_step, dtype),
+        done=ar >= n,                     # pad lanes born done
+        steps=jnp.zeros(N, jnp.int32),
+        seed_id=jnp.minimum(ar, n),
+        lane_steps=jnp.zeros((), jnp.int32),
+    )
+
+
+@jax.jit
+def _finalize_full_state(st: FullTraceState, n):
+    """(endpoints unpermuted to seed order, accepted-step count) in one
+    device program + exactly two host fetches at the call site."""
+    N = st.x.shape[0]
+    ends = jnp.zeros((N, 3), st.x.dtype).at[st.seed_id].set(st.x)
+    real = st.seed_id < n
+    return ends, jnp.sum(jnp.where(real, st.steps, 0))
+
+
+@jax.jit
+def _compact_state(st: FullTraceState):
+    """Pack not-done lanes to the front (stable) and return the count.
+
+    argsort of the done flags is a stable partition: active lanes keep
+    their relative order, so chunk k always holds the same seeds until
+    they finish — executables see identical shapes every dispatch."""
+    order = jnp.argsort(st.done, stable=True)
+    packed = FullTraceState(*(a[order] for a in st[:7]), st.lane_steps)
+    return packed, jnp.sum(~st.done, dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _run_chunk(cfg: TraceConfigDevice, dloc, u_cell,
+               st: FullTraceState, chunk: int, offset: jnp.ndarray,
+               seg_steps: jnp.ndarray) -> FullTraceState:
+    """Advance lanes [offset, offset+chunk) by one bounded segment —
+    slice, integrate, write back, all in ONE device program.  offset and
+    seg_steps are traced scalars: one executable per (mesh, chunk)."""
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, offset, chunk)
+    sub = TraceState(sl(st.x), sl(st.v), sl(st.t), sl(st.dt),
+                     sl(st.done), sl(st.steps))
+    prev = sub.steps
+    # inline trace_segment's body (calling the jitted wrapper from inside
+    # jit would re-trace it anyway); cfg._replace keeps max_steps honest
+    out = _segment_core(cfg, dloc, u_cell, sub, seg_steps)
+    wr = lambda a, b: jax.lax.dynamic_update_slice_in_dim(a, b, offset, 0)
+    executed = jnp.max(jnp.where(sub.done, 0, out.steps - prev))
+    return FullTraceState(
+        wr(st.x, out.x), wr(st.v, out.v), wr(st.t, out.t),
+        wr(st.dt, out.dt), wr(st.done, out.done), wr(st.steps, out.steps),
+        st.seed_id,
+        st.lane_steps + jnp.int32(chunk) * executed.astype(jnp.int32))
 
 
 def trace_particles(
@@ -262,7 +369,12 @@ def trace_particles(
     """
     if reverse:
         cfg = cfg._replace(sign=-1.0)
+    _t0 = _time.time()
     u_cell = pack_u_cells(dloc, u_nodes)
+    jax.block_until_ready(u_cell)
+    if stats is not None:
+        stats.setdefault("pack_s", []).append(
+            round(_time.time() - _t0, 3))
     if stats is not None:
         stats.setdefault("seeds", 0)
         stats.setdefault("dispatches", 0)
@@ -290,56 +402,58 @@ def trace_particles(
 
     n = int(seeds.shape[0])
     dtype = u_cell.dtype
-    # FSAL seed velocities through the SAME fixed chunk width as the
-    # segments — one compiled _init_v shape per mesh, ever
-    x = np.array(seeds, dtype)      # copy: jnp-backed views are read-only
-    v = np.empty_like(x)
-    for s in range(0, n, chunk):
-        blk = x[s : s + chunk]
-        pad = chunk - len(blk)
-        blkp = np.concatenate([blk, np.zeros((pad, 3), blk.dtype)]) \
-            if pad else blk
-        v[s : s + chunk] = np.asarray(
-            _init_v(cfg, dloc, u_cell, jnp.asarray(blkp)))[: len(blk)]
-    t = np.zeros(n, x.dtype)
-    dt = np.full(n, cfg.max_step, x.dtype)
-    done = np.zeros(n, bool)
-    steps = np.zeros(n, np.int32)
+    # pad the grid to a power-of-2 number of chunks: the compact /
+    # run-chunk / finalize programs are shaped by N, and bucketing keeps
+    # the set of N values (hence big-integrator compiles) tiny across
+    # images/sweeps — fwd seed counts vary per image, rev is always the
+    # product's 200x200 grid
+    n_chunks = 1
+    while n_chunks * chunk < n:
+        n_chunks *= 2
+    N = n_chunks * chunk
+    _t0 = _time.time()
+    x0 = np.zeros((N, 3), dtype)
+    x0[:n] = np.array(seeds, dtype)
+    # ONE upload + ONE device program builds the whole state (the FSAL
+    # carry v is a placeholder — the segment seeds f(x) on device for
+    # steps == 0 lanes, so there is no separate init program)
+    st = _init_full_state(jnp.asarray(x0), cfg.max_step,
+                          jnp.asarray(n, jnp.int32))
     max_rounds = -(-int(cfg.max_steps) // seg_steps)
-    for _ in range(max_rounds):
-        idx = np.nonzero(~done)[0]
-        if not len(idx):
-            break
-        for s in range(0, len(idx), chunk):
-            sel = idx[s : s + chunk]
-            pad = chunk - len(sel)
-            selp = np.concatenate([sel, np.full(pad, sel[-1])]) \
-                if pad else sel
-            st = TraceState(
-                x=jnp.asarray(x[selp]), v=jnp.asarray(v[selp]),
-                t=jnp.asarray(t[selp]),
-                dt=jnp.asarray(dt[selp]),
-                done=jnp.asarray(done[selp]) if not pad else
-                jnp.asarray(np.concatenate(
-                    [done[sel], np.ones(pad, bool)])),
-                steps=jnp.asarray(steps[selp]))
-            prev = steps[selp]
-            _t0 = _time.time()
-            st = trace_segment(cfg, dloc, u_cell, st, seg_steps)
-            np.asarray(st.steps)
-            if stats is not None:
-                delta = int((np.asarray(st.steps) - prev).max())
-                stats["dispatches"] += 1
-                stats["lane_steps"] += chunk * delta
-                stats.setdefault("dispatch_s", []).append(
-                    round(_time.time() - _t0, 3))
-            m = len(sel)
-            x[sel] = np.asarray(st.x)[:m]
-            v[sel] = np.asarray(st.v)[:m]
-            t[sel] = np.asarray(st.t)[:m]
-            dt[sel] = np.asarray(st.dt)[:m]
-            done[sel] = np.asarray(st.done)[:m]
-            steps[sel] = np.asarray(st.steps)[:m]
+    seg = jnp.asarray(seg_steps, jnp.int32)
     if stats is not None:
-        stats["seed_steps"] += int(steps.sum())
-    return jnp.asarray(x)
+        jax.block_until_ready(st.x)
+        stats.setdefault("setup_s", []).append(
+            round(_time.time() - _t0, 3))
+    for _ in range(max_rounds):
+        _t0 = _time.time()
+        st, n_active = _compact_state(st)
+        na = int(n_active)                # the ONLY per-round host read
+        if stats is not None:
+            stats.setdefault("dispatch_s", []).append(
+                round(_time.time() - _t0, 3))
+        if na == 0:
+            break
+        _t0 = _time.time()
+        for k in range(-(-na // chunk)):
+            st = _run_chunk(cfg, dloc, u_cell, st, chunk,
+                            jnp.asarray(k * chunk, jnp.int32), seg)
+            if stats is not None:
+                stats["dispatches"] += 1
+        if stats is not None:
+            # async dispatches: the wall of this round's chunk loop is
+            # realized at the NEXT round's compact fetch; record enqueue
+            # wall here, sync wall in the compact entry above
+            stats.setdefault("dispatch_s", []).append(
+                round(_time.time() - _t0, 3))
+    # finalize ON DEVICE: unpermute to original seed order in one
+    # program, then ONE bulk fetch (endpoints) + two scalars
+    _t0 = _time.time()
+    ends, seed_steps = _finalize_full_state(st, jnp.asarray(n, jnp.int32))
+    ends = np.asarray(ends)[:n]
+    if stats is not None:
+        stats["seed_steps"] += int(seed_steps)
+        stats["lane_steps"] += int(st.lane_steps)
+        stats.setdefault("final_s", []).append(
+            round(_time.time() - _t0, 3))
+    return ends
