@@ -440,10 +440,14 @@ def solve_newton_layered_stepped(
     initial residual."""
     import numpy as np
 
-    probe = solve_newton_layered(
-        kernel, n2d, n_planes, bs, arrays, mask, g, w0, E,
-        0.0, 0.0, 0, ksp_rtol, ksp_restart, ksp_max_restarts, pc, mg, ksp)
-    r0 = float(probe.resnorm)
+    # ||F(w0)|| from the SMALL assembly-only program: a max_it=0 Newton
+    # probe compiles (and first-dispatch-uploads) the full
+    # Newton+FGMRES+V-cycle executable even though its loop never runs —
+    # measured 46 s of pure program upload at the 230k production shape
+    # on a congested relay, paid once per process for a number one
+    # residual evaluation produces.
+    r0 = float(residual_norm_layered(
+        kernel, n2d, n_planes, bs, arrays, mask, g, w0, E))
     tol = max(rtol * r0, atol)
     w, rn, hist, stalled = w0, r0, [], False
     its = 0
