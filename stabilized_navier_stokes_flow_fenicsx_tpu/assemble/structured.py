@@ -315,8 +315,12 @@ def matrix_values_structured_soa(kernel, E: int, Lp: int, bs: int,
     alive = sasm.alive.astype(w.dtype)
 
     def chunk_rows(c0):
-        cT = jax.lax.dynamic_slice(sasm.coordsT, (0, c0), (12, m * nl))
-        wc = jax.lax.dynamic_slice(wT, (0, c0), (ndl, m * nl))
+        # int32 throughout: under x64 the python-int index literals
+        # canonicalize to int64 and dynamic_slice rejects mixed dtypes
+        c0 = jnp.asarray(c0, jnp.int32)
+        z = jnp.zeros((), jnp.int32)
+        cT = jax.lax.dynamic_slice(sasm.coordsT, (z, c0), (12, m * nl))
+        wc = jax.lax.dynamic_slice(wT, (z, c0), (ndl, m * nl))
         al = jax.lax.dynamic_slice(alive, (c0,), (m * nl,))
         J = kernel.jac_soa(cT, wc) * al[None, None, :]  # (ndl, ndl, m*nl)
         return J.reshape(e2, m, nl).transpose(1, 0, 2).reshape(m * e2, nl)
@@ -328,7 +332,8 @@ def matrix_values_structured_soa(kernel, E: int, Lp: int, bs: int,
 
         def body(b, k):
             return jax.lax.dynamic_update_slice(
-                b, chunk_rows(k * (m * nl)), (k * (m * e2), 0)), None
+                b, chunk_rows(k * (m * nl)),
+                (k * (m * e2), jnp.zeros((), jnp.int32))), None
 
         buf, _ = jax.lax.scan(
             body, jnp.zeros((M3p * e2, nl), w.dtype), offs)
@@ -351,8 +356,12 @@ def residual_structured(kernel, Lp: int, sasm: StructuredAsm,
     alive = sasm.alive.astype(w.dtype)
 
     def chunk_rows(c0):
-        cT = jax.lax.dynamic_slice(sasm.coordsT, (0, c0), (12, m * nl))
-        wc = jax.lax.dynamic_slice(wT, (0, c0), (ndl, m * nl))
+        # int32 throughout: under x64 the python-int index literals
+        # canonicalize to int64 and dynamic_slice rejects mixed dtypes
+        c0 = jnp.asarray(c0, jnp.int32)
+        z = jnp.zeros((), jnp.int32)
+        cT = jax.lax.dynamic_slice(sasm.coordsT, (z, c0), (12, m * nl))
+        wc = jax.lax.dynamic_slice(wT, (z, c0), (ndl, m * nl))
         al = jax.lax.dynamic_slice(alive, (c0,), (m * nl,))
         r = kernel.res_soa(cT, wc) * al[None, :]        # (ndl, m*nl)
         return r.reshape(ndl, m, nl).transpose(1, 0, 2).reshape(
@@ -365,7 +374,8 @@ def residual_structured(kernel, Lp: int, sasm: StructuredAsm,
 
         def body(b, k):
             return jax.lax.dynamic_update_slice(
-                b, chunk_rows(k * (m * nl)), (k * (m * ndl), 0)), None
+                b, chunk_rows(k * (m * nl)),
+                (k * (m * ndl), jnp.zeros((), jnp.int32))), None
 
         rbuf, _ = jax.lax.scan(
             body, jnp.zeros((M3p * ndl, nl), w.dtype), offs)
@@ -419,7 +429,8 @@ def matrix_values_structured(kernel, E: int, Lp: int, bs: int,
         def body(b, inp):
             cdi, cci, mki, o = inp
             return jax.lax.dynamic_update_slice(
-                b, chunk_rows(cdi, cci, mki), (o, 0)), None
+                b, chunk_rows(cdi, cci, mki),
+                (o, jnp.zeros((), jnp.int32))), None
 
         buf, _ = jax.lax.scan(
             body, jnp.zeros((M3p * e2, nl), w.dtype), (cd, cc, mk, offs))
